@@ -384,6 +384,12 @@ class ParticleArray(object):
                     arr.reshape(n, s) if n else arr.reshape(0, s),
                     np.full((pad_n, s), default, dtype=arr.dtype)], axis=0)
             state[name] = jnp.asarray(padded)
+        # Constants ride along unpadded so equations can read/write them
+        # (e.g. rigid-body reductions mutate cm/force/torque each step).
+        for name, v in self.constants.items():
+            if name in state:
+                raise ValueError('constant %r shadows a property' % name)
+            state[name] = jnp.asarray(v)
         state['n_act'] = jnp.asarray(n, dtype=np.int32)
         return state, capacity
 
@@ -393,6 +399,9 @@ class ParticleArray(object):
         resized = n_act != self.get_number_of_particles()
         for name, dev in state.items():
             if name == 'n_act':
+                continue
+            if name in self.constants:
+                self.constants[name] = np.asarray(dev)
                 continue
             if name not in self.properties:
                 continue
