@@ -1,0 +1,328 @@
+"""Time integrators.
+
+Mirrors /root/reference/pysph/sph/integrator.py: an ``Integrator`` is built
+from per-array ``IntegratorStep`` objects (``Integrator(fluid=WCSPHStep())``)
+and a ``one_timestep(t, dt)`` recipe composed of ``initialize()``,
+``stage1()``.., ``compute_accelerations()``, ``update_domain()`` and
+``do_post_stage()``.
+
+TPU-native execution: ``one_timestep`` is *traced* — ``step(states, t, dt)``
+is a pure function (state pytree in, state pytree out) that the Solver jits
+once; there is no generated Cython.  Stepper stage methods are per-particle
+DSL methods executed batched by the same engine as equation ``initialize``.
+
+Adaptive timestepping reproduces reference integrator.py:161-200:
+``dt_cfl``/``dt_force``/``dt_visc`` property maxima give
+``hmin/cfl_f``, ``sqrt(hmin/sqrt(force_f))``, ``hmin/visc_f``; an explicit
+``dt_adapt`` property overrides everything.  All reductions stay on device
+(traced), so adaptive dt never forces a host sync inside a scan.
+"""
+
+import jax.numpy as jnp
+
+from pysph_tpu.sph.acceleration_eval import (
+    _active_mask, _bind_particle_phase)
+
+
+class Integrator(object):
+    def __init__(self, **steppers):
+        self.steppers = steppers
+        self.acceleration_evals = None
+        self.finder = None
+        self.domain = None
+        self.post_stage_callback = None
+        self.fixed_h = False
+        self._states = None
+        self._lists = {}
+        self._diag = None
+
+    # ------------------------------------------------------------------
+    # Wiring (called by SPHCompiler / Solver)
+    # ------------------------------------------------------------------
+    def set_acceleration_evals(self, a_evals):
+        if not isinstance(a_evals, (list, tuple)):
+            a_evals = [a_evals]
+        self.acceleration_evals = list(a_evals)
+
+    def set_nnps(self, finder):
+        self.finder = finder
+        for a_eval in self.acceleration_evals or ():
+            a_eval.set_nnps(finder)
+
+    def set_domain(self, domain):
+        self.domain = domain
+        for a_eval in self.acceleration_evals or ():
+            a_eval.set_domain(domain)
+
+    def set_post_stage_callback(self, callback):
+        """callback(cur_time, dt, stage) — must be traceable (pure jnp)."""
+        self.post_stage_callback = callback
+
+    def set_fixed_h(self, fixed_h):
+        self.fixed_h = fixed_h
+
+    @property
+    def schemas(self):
+        return self.acceleration_evals[0].schemas
+
+    # ------------------------------------------------------------------
+    # Pure-functional entry points
+    # ------------------------------------------------------------------
+    def step(self, states, t, dt):
+        """Advance one timestep.  Returns (new_states, diag)."""
+        self._states = dict(states)
+        self._t = t
+        self._dt = dt
+        self._lists = {}
+        self._diag = None
+        self.one_timestep(t, dt)
+        states, diag = self._states, self._diag
+        self._states = None
+        self._lists = {}
+        return states, diag
+
+    def initial_acceleration(self, states, t, dt):
+        """Initial force evaluation (reference integrator.py:289)."""
+        self._states = dict(states)
+        self._t = t
+        self._dt = dt
+        self._lists = {}
+        self._diag = None
+        self.compute_accelerations(0, update_nnps=True)
+        states, diag = self._states, self._diag
+        self._states = None
+        return states, diag
+
+    # ------------------------------------------------------------------
+    # one_timestep building blocks
+    # ------------------------------------------------------------------
+    def _merge_diag(self, diag):
+        if self._diag is None:
+            self._diag = dict(diag)
+        else:
+            for k, v in diag.items():
+                old = self._diag[k]
+                self._diag[k] = (old | v) if v.dtype == jnp.bool_ else \
+                    jnp.maximum(old, v)
+
+    def compute_accelerations(self, index=0, update_nnps=True):
+        a_eval = self.acceleration_evals[index]
+        if update_nnps or index not in self._lists:
+            lists, diag = self.finder.update(self._states,
+                                             a_eval.nnps_pairs)
+            self._lists[index] = lists
+            self._merge_diag(diag)
+        self._states = a_eval.compute(self._t, self._dt, self._states,
+                                      self._lists[index])
+
+    def update_domain(self):
+        if self.domain is not None and self.domain.is_periodic:
+            for name in list(self._states):
+                self._states[name] = self.domain.wrap_state(
+                    self._states[name])
+
+    def do_post_stage(self, stage_dt, stage):
+        if self.post_stage_callback is not None:
+            self.post_stage_callback(self._t + stage_dt, self._dt, stage)
+
+    def _run_stage(self, stage_name):
+        kernel = self.acceleration_evals[0].kernel
+        for arr_name, stepper in self.steppers.items():
+            fn = getattr(stepper, stage_name, None)
+            if fn is None:
+                continue
+            store = dict(self._states[arr_name])
+            self._states[arr_name] = store
+            schema = self.schemas[arr_name]
+            mask = _active_mask(store) & (store['tag'] == 0)
+            _bind_particle_phase(fn, store, schema, mask, self._t,
+                                 self._dt, kernel)
+
+    def initialize(self):
+        self._run_stage('initialize')
+
+    def stage1(self):
+        self._run_stage('stage1')
+
+    def stage2(self):
+        self._run_stage('stage2')
+
+    def stage3(self):
+        self._run_stage('stage3')
+
+    def stage4(self):
+        self._run_stage('stage4')
+
+    def stage5(self):
+        self._run_stage('stage5')
+
+    def one_timestep(self, t, dt):
+        """Default: PEC (reference integrator.py:202-242)."""
+        self.initialize()
+        self.stage1()
+        self.update_domain()
+        self.do_post_stage(0.5 * dt, 1)
+        self.compute_accelerations()
+        self.stage2()
+        self.update_domain()
+        self.do_post_stage(dt, 2)
+
+    # ------------------------------------------------------------------
+    # Adaptive timestep (traced; reference integrator.py:62-200)
+    # ------------------------------------------------------------------
+    def compute_time_step(self, states, dt_current, cfl):
+        """Return the adaptive dt (traced scalar).
+
+        Falls back to ``dt_current`` if no adaptive constraints exist.
+        """
+        fdt = dt_current.dtype if hasattr(dt_current, 'dtype') else \
+            next(iter(states.values()))['x'].dtype
+        inf = jnp.asarray(jnp.inf, dtype=fdt)
+
+        # explicit per-particle dt_adapt overrides everything
+        has_dt_adapt = any('dt_adapt' in self.schemas[n].props
+                           for n in states)
+        if has_dt_adapt:
+            dt_min = inf
+            for name, s in states.items():
+                if 'dt_adapt' in self.schemas[name].props:
+                    act = _active_mask(s)
+                    dt_min = jnp.minimum(dt_min, jnp.min(
+                        jnp.where(act, s['dt_adapt'], inf)))
+            return jnp.where((dt_min > 0) & jnp.isfinite(dt_min),
+                             dt_min, dt_current)
+
+    # factors: max over arrays of max over particles
+        factors = {}
+        for prop in ('dt_cfl', 'dt_force', 'dt_visc'):
+            fac = jnp.asarray(-1.0, dtype=fdt)
+            present = False
+            for name, s in states.items():
+                if prop in self.schemas[name].props:
+                    present = True
+                    act = _active_mask(s)
+                    fac = jnp.maximum(fac, jnp.max(
+                        jnp.where(act, s[prop], -inf)))
+            factors[prop] = fac if present else None
+        if all(v is None for v in factors.values()):
+            return dt_current
+
+        hmin = inf
+        for name, s in states.items():
+            act = _active_mask(s)
+            hmin = jnp.minimum(hmin, jnp.min(
+                jnp.where(act, s['h'], inf)))
+
+        dt_min = inf
+        if factors['dt_cfl'] is not None:
+            f = factors['dt_cfl']
+            dt_min = jnp.minimum(dt_min,
+                                 jnp.where(f > 0, hmin / f, inf))
+        if factors['dt_force'] is not None:
+            f = factors['dt_force']
+            dt_min = jnp.minimum(
+                dt_min, jnp.where(f > 0, jnp.sqrt(hmin / jnp.sqrt(f)),
+                                  inf))
+        if factors['dt_visc'] is not None:
+            f = factors['dt_visc']
+            dt_min = jnp.minimum(dt_min,
+                                 jnp.where(f > 0, hmin / f, inf))
+        ok = (dt_min > 0) & jnp.isfinite(dt_min)
+        return jnp.where(ok, cfl * dt_min, dt_current)
+
+
+class EulerIntegrator(Integrator):
+    """1-stage Euler (reference integrator.py:319)."""
+
+    def one_timestep(self, t, dt):
+        self.compute_accelerations()
+        self.stage1()
+        self.update_domain()
+        self.do_post_stage(dt, 1)
+
+
+class PECIntegrator(Integrator):
+    """Predict-Evaluate-Correct (reference integrator.py:330)."""
+
+    def one_timestep(self, t, dt):
+        self.initialize()
+        self.stage1()
+        self.update_domain()
+        self.do_post_stage(0.5 * dt, 1)
+        self.compute_accelerations()
+        self.stage2()
+        self.update_domain()
+        self.do_post_stage(dt, 2)
+
+
+class EPECIntegrator(Integrator):
+    """Evaluate-Predict-Evaluate-Correct (reference integrator.py:367)."""
+
+    def one_timestep(self, t, dt):
+        self.initialize()
+        self.compute_accelerations()
+        self.stage1()
+        self.update_domain()
+        self.do_post_stage(0.5 * dt, 1)
+        self.compute_accelerations()
+        self.stage2()
+        self.update_domain()
+        self.do_post_stage(dt, 2)
+
+
+class TVDRK3Integrator(Integrator):
+    """3-stage SSP RK3 (reference integrator.py:426)."""
+
+    def one_timestep(self, t, dt):
+        self.initialize()
+        self.compute_accelerations()
+        self.stage1()
+        self.update_domain()
+        self.do_post_stage(1. / 3 * dt, 1)
+        self.compute_accelerations()
+        self.stage2()
+        self.update_domain()
+        self.do_post_stage(2. / 3 * dt, 2)
+        self.compute_accelerations()
+        self.stage3()
+        self.update_domain()
+        self.do_post_stage(dt, 3)
+
+
+class LeapFrogIntegrator(PECIntegrator):
+    """Kick-drift-kick leap-frog (reference integrator.py:464)."""
+
+    def one_timestep(self, t, dt):
+        self.stage1()
+        self.update_domain()
+        self.do_post_stage(0.5 * dt, 1)
+        self.compute_accelerations()
+        self.stage2()
+        self.update_domain()
+        self.do_post_stage(dt, 2)
+
+
+class PEFRLIntegrator(Integrator):
+    """Position-Extended Forest-Ruth-Like 4th order symplectic integrator
+    (reference integrator.py:481)."""
+
+    def one_timestep(self, t, dt):
+        self.stage1()
+        self.update_domain()
+        self.do_post_stage(0.1786178958448091 * dt, 1)
+        self.compute_accelerations()
+        self.stage2()
+        self.update_domain()
+        self.do_post_stage(0.1123533131749906 * dt, 2)
+        self.compute_accelerations()
+        self.stage3()
+        self.update_domain()
+        self.do_post_stage(0.8876466868250094 * dt, 3)
+        self.compute_accelerations()
+        self.stage4()
+        self.update_domain()
+        self.do_post_stage(0.8213821041551909 * dt, 4)
+        self.compute_accelerations()
+        self.stage5()
+        self.update_domain()
+        self.do_post_stage(dt, 5)
