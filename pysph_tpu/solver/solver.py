@@ -1,0 +1,409 @@
+"""The Solver: owns the time loop and device state.
+
+Mirrors /root/reference/pysph/solver/solver.py:21 (time loop, adaptive and
+damped timesteps, output at pfreq/output_at_times with dt landing,
+callbacks, dump/load) with a TPU-native execution model:
+
+- Particle state lives on device as a pytree; the whole integrator timestep
+  is one jitted pure function (``integrator.step``).
+- The adaptive timestep is computed on device; only the scalar dt crosses
+  to the host (needed anyway to decide loop termination/output).
+- Neighbor-capacity overflows (more true neighbors than the static K) are
+  detected each step; the solver grows the capacities, re-jits, and redoes
+  the step from the saved pre-step state, so results are never silently
+  wrong.
+"""
+
+import logging
+import os
+
+import jax
+import numpy as np
+
+from pysph_tpu.base.kernels import CubicSpline
+from pysph_tpu.base.nnps import NeighborFinder
+from pysph_tpu.solver.output import dump as dump_func
+from pysph_tpu.solver.output import load as load_func
+from pysph_tpu.solver.utils import ProgressBar, mkdir
+
+logger = logging.getLogger(__name__)
+
+EPSILON = 1e-14
+
+
+class Solver(object):
+    def __init__(self, dim=2, integrator=None, kernel=None, n_damp=0,
+                 tf=1.0, dt=1e-3, adaptive_timestep=False, cfl=0.3,
+                 output_at_times=(), fixed_h=False, **kw):
+        self.integrator = integrator
+        self.dim = dim
+        self.kernel = kernel if kernel is not None else CubicSpline(dim)
+        self.particles = None
+        self.acceleration_evals = None
+        self.nnps = None
+        self.domain = None
+        self.t = 0.0
+        self.count = 0
+        self.execute_commands = None
+        self.command_interval = 1
+        self.pre_step_callbacks = []
+        self.post_step_callbacks = []
+        self.post_stage_callbacks = []
+        self.pfreq = 100
+        self.disable_output = False
+        self.compress_output = False
+        self.detailed_output = False
+        self.output_only_real = True
+        self.fname = self.__class__.__name__
+        self.output_directory = self.fname + '_output'
+        self.n_damp = n_damp
+        self.adaptive_timestep = adaptive_timestep
+        self.cfl = cfl
+        self.output_at_times = np.asarray(output_at_times)
+        self.tf = tf
+        self.dt = dt
+        self.max_steps = 1 << 31
+        self.fixed_h = fixed_h
+        self.rank = 0
+        self.in_parallel = False
+        self.arrays_to_print = []
+        self._prev_dt = None
+        self._damping_factor = 1.0
+        self._epsilon = EPSILON * tf
+        self.states = None
+        self._step_fn = None
+        self._adapt_fn = None
+        for key, value in kw.items():
+            setattr(self, key, value)
+
+    # ------------------------------------------------------------------
+    # Setup
+    # ------------------------------------------------------------------
+    def setup(self, particles, equations, nnps=None, kernel=None,
+              fixed_h=False):
+        """Compile the equations/integrator against the particles
+        (reference solver.py:186)."""
+        from pysph_tpu.sph.acceleration_eval import make_acceleration_evals
+
+        self.particles = particles
+        if kernel is not None:
+            self.kernel = kernel
+        self.equations = equations
+        self.acceleration_evals = make_acceleration_evals(
+            particles, equations, self.kernel)
+        if nnps is None:
+            nnps = NeighborFinder(dim=self.dim,
+                                  radius_scale=self.kernel.radius_scale,
+                                  domain=self.domain)
+        self.nnps = nnps
+        integrator = self.integrator
+        integrator.set_acceleration_evals(self.acceleration_evals)
+        integrator.set_nnps(nnps)
+        if self.domain is not None:
+            integrator.set_domain(self.domain)
+        integrator.set_fixed_h(fixed_h or self.fixed_h)
+        self._sync_to_device()
+        self._make_jits()
+
+    def set_domain(self, domain):
+        self.domain = domain
+
+    def _sync_to_device(self):
+        self.states = {}
+        for pa in self.particles:
+            state, _ = pa.to_device()
+            self.states[pa.name] = state
+
+    def _sync_to_host(self):
+        for pa in self.particles:
+            pa.update_from_device(
+                jax.tree_util.tree_map(np.asarray, self.states[pa.name]))
+
+    def _make_jits(self):
+        integrator = self.integrator
+
+        def step(states, t, dt):
+            return integrator.step(states, t, dt)
+
+        def adapt(states, dt):
+            return integrator.compute_time_step(states, dt, self.cfl)
+
+        self._step_fn = jax.jit(step)
+        self._adapt_fn = jax.jit(adapt)
+
+    # ------------------------------------------------------------------
+    # Callback / configuration API (reference solver.py:231-423)
+    # ------------------------------------------------------------------
+    def add_pre_step_callback(self, callback):
+        self.pre_step_callbacks.append(callback)
+
+    def add_post_step_callback(self, callback):
+        self.post_step_callbacks.append(callback)
+
+    def add_post_stage_callback(self, callback):
+        self.post_stage_callbacks.append(callback)
+        self.integrator.set_post_stage_callback(callback)
+
+    def append_particle_arrrays(self, arrays):
+        for array in arrays:
+            self.particles.append(array)
+        self._sync_to_device()
+
+    def set_adaptive_timestep(self, value):
+        self.adaptive_timestep = value
+
+    def set_cfl(self, value):
+        self.cfl = value
+
+    def set_time_step(self, dt):
+        self.dt = dt
+
+    def set_final_time(self, tf):
+        self.tf = tf
+        self._epsilon = EPSILON * tf
+
+    def set_max_steps(self, max_steps):
+        self.max_steps = max_steps
+
+    def set_print_freq(self, n):
+        self.pfreq = n
+
+    def set_disable_output(self, value):
+        self.disable_output = value
+
+    def set_arrays_to_print(self, array_names=None):
+        self.arrays_to_print = array_names or []
+
+    def set_output_fname(self, fname):
+        self.fname = fname
+
+    def set_output_directory(self, path):
+        self.output_directory = path
+
+    def set_compress_output(self, compress):
+        self.compress_output = compress
+
+    def set_output_only_real(self, output_only_real):
+        self.output_only_real = output_only_real
+
+    def set_output_at_times(self, output_at_times):
+        self.output_at_times = np.asarray(output_at_times)
+
+    def set_detailed_output(self, detailed_output):
+        self.detailed_output = detailed_output
+
+    def set_n_damp(self, n):
+        self.n_damp = n
+
+    def set_command_handler(self, callable, command_interval=1):
+        self.execute_commands = callable
+        self.command_interval = command_interval
+
+    def barrier(self):
+        pass
+
+    # ------------------------------------------------------------------
+    # The time loop (reference solver.py:425-513)
+    # ------------------------------------------------------------------
+    def solve(self, show_progress=True):
+        bar = ProgressBar(self.t, self.tf, show=show_progress)
+        self._epsilon = EPSILON * self.tf
+
+        self.dump_output()
+        states, diag = self.integrator.initial_acceleration(
+            self.states, self.t, self.dt)
+        if self._check_overflow(diag):
+            self._handle_overflow(diag)
+            states, diag = self.integrator.initial_acceleration(
+                self.states, self.t, self.dt)
+        self.states = states
+        self.dt = self._get_timestep()
+
+        while ((self.tf - self.t) > self._epsilon and
+               self.count < self.max_steps):
+            for callback in self.pre_step_callbacks:
+                callback(self)
+
+            pre_states = self.states
+            new_states, diag = self._step_fn(self.states, self.t, self.dt)
+            if self._check_overflow(diag):
+                # grow capacities, re-jit, and redo the step from the
+                # saved pre-step state so no neighbors are dropped.
+                self._handle_overflow(diag)
+                new_states, diag = self._step_fn(pre_states, self.t,
+                                                 self.dt)
+            self.states = new_states
+
+            for callback in self.post_step_callbacks:
+                callback(self)
+
+            self.t += self.dt
+            self.count += 1
+            self._epsilon = EPSILON * self.tf * self.count
+            self.dt = self._get_timestep()
+            self._dump_output_if_needed()
+            bar.update(self.t)
+
+            if self.execute_commands is not None:
+                if self.count % self.command_interval == 0:
+                    self.execute_commands(self)
+
+        bar.finish()
+        self.dump_output()
+
+    # -- overflow management -------------------------------------------
+    @staticmethod
+    def _check_overflow(diag):
+        return bool(diag['neighbor_overflow']) or bool(
+            diag['cell_overflow'])
+
+    def _handle_overflow(self, diag):
+        finder = self.nnps
+        if bool(diag['neighbor_overflow']):
+            needed = int(diag['max_neighbors'])
+            while finder.max_neighbors < needed:
+                finder.grow(neighbors=True)
+            logger.info('neighbor capacity grown to %d (needed %d)',
+                        finder.max_neighbors, needed)
+        if bool(diag['cell_overflow']):
+            needed = int(diag['max_occupancy'])
+            while finder.cell_capacity < needed:
+                finder.grow(cells=True)
+            logger.info('cell capacity grown to %d (needed %d)',
+                        finder.cell_capacity, needed)
+        self._make_jits()
+
+    # -- timestep helpers (reference solver.py:647-700) ----------------
+    def _get_undamped_timestep(self):
+        if self._prev_dt is not None:
+            dt = self._prev_dt
+            self._prev_dt = None
+        else:
+            dt = self.dt / self._damping_factor
+        return dt
+
+    def _compute_timestep(self):
+        undamped = self._get_undamped_timestep()
+        if self.adaptive_timestep:
+            import jax.numpy as jnp
+            dt = float(self._adapt_fn(
+                self.states, jnp.asarray(undamped)))
+            return dt
+        return undamped
+
+    def _damp_timestep(self, dt):
+        n_damp = self.n_damp
+        if self.count < n_damp and n_damp > 0:
+            frac = (self.count + 1) / float(n_damp)
+            self._damping_factor = 0.5 * (
+                np.sin(np.pi * (-0.5 + frac)) + 1.0)
+        else:
+            self._damping_factor = 1.0
+        return dt * self._damping_factor
+
+    def _get_timestep(self):
+        if abs(self.tf - self.t) < self._epsilon:
+            return self.dt
+        dt = self._compute_timestep()
+        dt = self._damp_timestep(dt)
+        if self.t + dt > self.tf:
+            dt = self.tf - self.t
+        return dt
+
+    # ------------------------------------------------------------------
+    # Output (reference solver.py:520-626)
+    # ------------------------------------------------------------------
+    def get_options(self, arg_parser):
+        pass
+
+    def setup_solver(self, options=None):
+        pass
+
+    def _get_solver_data(self):
+        if self._prev_dt is not None:
+            dt = self._prev_dt / self._damping_factor
+        else:
+            dt = self._get_undamped_timestep_peek()
+        return {'dt': dt, 't': self.t, 'count': self.count}
+
+    def _get_undamped_timestep_peek(self):
+        return (self._prev_dt if self._prev_dt is not None
+                else self.dt / self._damping_factor)
+
+    def dump_output(self):
+        if self.disable_output:
+            return
+        self._sync_to_host()
+        mkdir(self.output_directory)
+        fname = os.path.join(self.output_directory,
+                             '%s_%05d' % (self.fname, self.count))
+        dump_func(fname, self.particles, self._get_solver_data(),
+                  detailed_output=self.detailed_output,
+                  only_real=self.output_only_real,
+                  compress=self.compress_output)
+
+    def _dump_output_if_needed(self):
+        if abs(self.t - self.tf) < self._epsilon:
+            return
+        dump = self.count % self.pfreq == 0
+        output_at_times = self.output_at_times
+        dt = self.dt
+        if len(output_at_times) > 0:
+            tdiff = output_at_times - self.t
+            if np.any(np.abs(tdiff) < self._epsilon):
+                dump = True
+            too_big = (tdiff > 0.0) & (tdiff < dt)
+            if np.any(too_big):
+                indices = np.where(too_big)[0]
+                index = indices[0]
+                output_time = output_at_times[index]
+                if (abs(output_time - self.t) < self._epsilon and
+                        len(indices) > 1):
+                    index = indices[1]
+                    output_time = output_at_times[index]
+                if abs(output_time - self.t) > self._epsilon:
+                    self._prev_dt = dt
+                    self.dt = float(output_time - self.t)
+        if dump:
+            self.dump_output()
+
+    def load_output(self, count):
+        """Load output of the given iteration (reference solver.py:575)."""
+        fname = os.path.join(self.output_directory,
+                             '%s_%s' % (self.fname, count))
+        for ext in ('.hdf5', '.npz'):
+            if os.path.isfile(fname + ext):
+                data = load_func(fname + ext)
+                break
+        else:
+            raise IOError('no output file %s' % fname)
+        sd = data['solver_data']
+        self.t = float(sd['t'])
+        self.dt = float(sd['dt'])
+        self.count = int(sd['count'])
+        for pa in self.particles:
+            if pa.name in data['arrays']:
+                src = data['arrays'][pa.name]
+                n = src.get_number_of_particles()
+                cur = pa.get_number_of_particles()
+                if n != cur:
+                    if n > cur:
+                        pa.extend(n - cur)
+                    else:
+                        pa.remove_particles(np.arange(n, cur))
+                for prop, arr in src.properties.items():
+                    if prop in pa.properties:
+                        pa.properties[prop][:arr.size] = arr
+                pa._update_num_real()
+        self._sync_to_device()
+
+    def reorder_particles(self):
+        """Spatially order particles (the NNPS build already sorts
+        candidates; explicit reorder improves gather locality)."""
+        pass
+
+    def get_particle_array(self, name):
+        for pa in self.particles:
+            if pa.name == name:
+                return pa
+        return None

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from pysph_tpu.base.particle_array import ParticleTAGS
 from pysph_tpu.sph.equation import (
     ArrayView, Equation, Group, IndexSym, MultiStageEquations, PairDestView,
-    PairSrcView, ReduceView, _method_args, get_arrays_used_in_equation)
+    PairSrcView, ReduceView, SymVec, _method_args,
+    get_arrays_used_in_equation)
 
 
 class ArraySchema(NamedTuple):
@@ -145,12 +146,12 @@ class PairContext(object):
         dz = self.dget('z') - self.sget('z')
         if self.domain is not None and self.domain.is_periodic:
             dx, dy, dz = self.domain.minimum_image(dx, dy, dz)
-        return jnp.stack([dx, dy, dz])
+        return SymVec([dx, dy, dz])
 
     def _c_vij(self):
-        return jnp.stack([self.dget('u') - self.sget('u'),
-                          self.dget('v') - self.sget('v'),
-                          self.dget('w') - self.sget('w')])
+        return SymVec([self.dget('u') - self.sget('u'),
+                       self.dget('v') - self.sget('v'),
+                       self.dget('w') - self.sget('w')])
 
     def _c_r2ij(self):
         xij = self.sym('XIJ')
@@ -172,16 +173,19 @@ class PairContext(object):
                                   self.sget('h'))
 
     def _c_dwij(self):
-        return self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
-                                    self.sym('HIJ'))
+        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
+                                 self.sym('HIJ'))
+        return SymVec([g[0], g[1], g[2]])
 
     def _c_dwi(self):
-        return self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
-                                    self.dget('h'))
+        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
+                                 self.dget('h'))
+        return SymVec([g[0], g[1], g[2]])
 
     def _c_dwj(self):
-        return self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
-                                    self.sget('h'))
+        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
+                                 self.sget('h'))
+        return SymVec([g[0], g[1], g[2]])
 
     def _c_ghi(self):
         return self.kernel.gradient_h(self.sym('XIJ'), self.sym('RIJ'),

@@ -66,6 +66,39 @@ class IndexSym(object):
                                                  self.off)
 
 
+class SymVec(object):
+    """A mutable 3-component pair symbol (XIJ, VIJ, DWIJ, ...).
+
+    Components are ``(N, K)`` arrays.  Mutability matters: the reference DSL
+    lets an equation overwrite e.g. ``DWIJ`` so *later equations in the same
+    group* see the corrected gradient (see GradientCorrection, reference
+    wc/kernel_correction.py:124); components written here are visible to
+    subsequently executed equations because the PairContext caches this
+    object."""
+
+    __slots__ = ('comps',)
+
+    def __init__(self, comps):
+        self.comps = list(comps)
+
+    def __getitem__(self, i):
+        return self.comps[i]
+
+    def __setitem__(self, i, value):
+        import jax.numpy as jnp
+        self.comps[i] = jnp.asarray(value)
+
+    def __len__(self):
+        return len(self.comps)
+
+    def __iter__(self):
+        return iter(self.comps)
+
+    def stack(self):
+        import jax.numpy as jnp
+        return jnp.stack(self.comps)
+
+
 class _AccumMax(object):
     __slots__ = ('value',)
 

@@ -1,0 +1,328 @@
+"""SPH schemes: assemble equations + integrator + solver for a formulation.
+
+Parity with /root/reference/pysph/sph/scheme.py: the ``Scheme`` ABC
+(add_user_options / consume_user_options / configure / configure_solver /
+get_equations / setup_properties), ``SchemeChooser`` and ``WCSPHScheme``.
+Further schemes (TVF, EDAC, GasD, ...) live in their own modules and
+register here over time.
+"""
+
+
+class Scheme(object):
+    """An API for an SPH scheme (reference scheme.py:7)."""
+
+    def __init__(self, fluids, solids, dim):
+        self.fluids = fluids
+        self.solids = solids
+        self.dim = dim
+        self.solver = None
+        self.attributes_changed()
+
+    # Public protocol ###################################################
+    def add_user_options(self, group):
+        pass
+
+    def attributes_changed(self):
+        pass
+
+    def configure(self, **kw):
+        for k, v in kw.items():
+            if not hasattr(self, k):
+                raise RuntimeError(
+                    'Parameter %s not defined for %s.' %
+                    (k, self.__class__.__name__))
+            setattr(self, k, v)
+        self.attributes_changed()
+
+    def consume_user_options(self, options):
+        pass
+
+    def configure_solver(self, kernel=None, integrator_cls=None,
+                         extra_steppers=None, **kw):
+        raise NotImplementedError()
+
+    def get_equations(self):
+        raise NotImplementedError()
+
+    def get_solver(self):
+        return self.solver
+
+    def setup_properties(self, particles, clean=True):
+        raise NotImplementedError()
+
+    # Private protocol ###################################################
+    def _ensure_properties(self, pa, desired_props, clean=True):
+        """Add desired props; remove unneeded ones when clean
+        (reference scheme.py:100)."""
+        all_props = {}
+        for p in desired_props:
+            if isinstance(p, dict):
+                all_props[p['name']] = p
+            elif p not in all_props:
+                all_props[p] = {'name': p}
+        pa_props = set(pa.properties.keys())
+        if clean:
+            for prop in pa_props - set(all_props):
+                pa.remove_property(prop)
+        for prop in set(all_props) - pa_props:
+            kw = dict(all_props[prop])
+            name = kw.pop('name')
+            pa.add_property(name, **kw)
+
+    def _smart_getattr(self, obj, var):
+        res = getattr(obj, var, None)
+        if res is None:
+            return getattr(self, var)
+        return res
+
+
+class SchemeChooser(Scheme):
+    """Chooses between schemes via the ``--scheme`` flag
+    (reference scheme.py:141)."""
+
+    def __init__(self, default, **schemes):
+        self.default = default
+        self.schemes = dict(schemes)
+        self.scheme = schemes[default]
+        self.solver = None
+
+    def add_user_options(self, group):
+        group.add_argument(
+            '--scheme', action='store', dest='scheme',
+            default=self.default, choices=list(self.schemes.keys()),
+            help='Scheme to use (one of %s)' % list(self.schemes.keys()))
+        for scheme in self.schemes.values():
+            scheme.add_user_options(group)
+
+    def attributes_changed(self):
+        pass
+
+    def configure(self, **kw):
+        self.scheme.configure(**kw)
+
+    def consume_user_options(self, options):
+        self.scheme = self.schemes[options.scheme]
+        self.scheme.consume_user_options(options)
+
+    def configure_solver(self, kernel=None, integrator_cls=None,
+                         extra_steppers=None, **kw):
+        self.scheme.configure_solver(kernel=kernel,
+                                     integrator_cls=integrator_cls,
+                                     extra_steppers=extra_steppers, **kw)
+
+    def get_equations(self):
+        return self.scheme.get_equations()
+
+    def get_solver(self):
+        return self.scheme.get_solver()
+
+    def setup_properties(self, particles, clean=True):
+        self.scheme.setup_properties(particles, clean)
+
+    def __getattr__(self, name):
+        return getattr(object.__getattribute__(self, 'scheme'), name)
+
+
+def add_bool_argument(group, arg, dest, help, default):
+    group.add_argument('--%s' % arg, action='store_true', dest=dest,
+                       help=help, default=default)
+    group.add_argument('--no-%s' % arg, action='store_false', dest=dest,
+                       help='Do not ' + help[0].lower() + help[1:])
+
+
+class WCSPHScheme(Scheme):
+    """Weakly-compressible SPH (reference scheme.py:218)."""
+
+    def __init__(self, fluids, solids, dim, rho0, c0, h0, hdx, gamma=7.0,
+                 gx=0.0, gy=0.0, gz=0.0, alpha=0.1, beta=0.0, delta=0.1,
+                 nu=0.0, tensile_correction=False, hg_correction=False,
+                 update_h=False, delta_sph=False, summation_density=False):
+        self.fluids = fluids
+        self.solids = solids
+        self.solver = None
+        self.rho0 = rho0
+        self.c0 = c0
+        self.gamma = gamma
+        self.dim = dim
+        self.h0 = h0
+        self.hdx = hdx
+        self.gx = gx
+        self.gy = gy
+        self.gz = gz
+        self.alpha = alpha
+        self.beta = beta
+        self.delta = delta
+        self.nu = nu
+        self.tensile_correction = tensile_correction
+        self.hg_correction = hg_correction
+        self.update_h = update_h
+        self.delta_sph = delta_sph
+        self.summation_density = summation_density
+
+    def add_user_options(self, group):
+        group.add_argument('--alpha', action='store', type=float,
+                           dest='alpha', default=None,
+                           help='Artificial viscosity alpha.')
+        group.add_argument('--beta', action='store', type=float,
+                           dest='beta', default=None,
+                           help='Artificial viscosity beta.')
+        group.add_argument('--delta', action='store', type=float,
+                           dest='delta', default=None,
+                           help='delta-SPH diffusion coefficient.')
+        group.add_argument('--gamma', action='store', type=float,
+                           dest='gamma', default=None,
+                           help='Tait EOS gamma.')
+        add_bool_argument(group, 'tensile-correction',
+                          'tensile_correction',
+                          'Use tensile instability correction.', None)
+        add_bool_argument(group, 'hg-correction', 'hg_correction',
+                          'Use the Hughes-Graham correction.', None)
+        add_bool_argument(group, 'update-h', 'update_h',
+                          'Update the smoothing length.', None)
+        add_bool_argument(group, 'delta-sph', 'delta_sph',
+                          'Use delta-SPH.', None)
+        add_bool_argument(group, 'summation-density', 'summation_density',
+                          'Use summation density.', None)
+
+    def consume_user_options(self, options):
+        vars = ['gamma', 'tensile_correction', 'hg_correction',
+                'update_h', 'delta_sph', 'alpha', 'beta',
+                'summation_density', 'delta']
+        data = dict((var, self._smart_getattr(options, var))
+                    for var in vars)
+        self.configure(**data)
+
+    def get_timestep(self, cfl=0.5):
+        return cfl * self.h0 / self.c0
+
+    def configure_solver(self, kernel=None, integrator_cls=None,
+                         extra_steppers=None, **kw):
+        from pysph_tpu.base.kernels import CubicSpline
+        from pysph_tpu.sph.integrator import (
+            PECIntegrator, TVDRK3Integrator)
+        from pysph_tpu.sph.integrator_step import (
+            WCSPHStep, WCSPHTVDRK3Step)
+        from pysph_tpu.solver.solver import Solver
+        if kernel is None:
+            kernel = CubicSpline(dim=self.dim)
+        steppers = {}
+        if extra_steppers is not None:
+            steppers.update(extra_steppers)
+        cls = integrator_cls if integrator_cls is not None else \
+            PECIntegrator
+        step_cls = WCSPHTVDRK3Step if cls is TVDRK3Integrator else \
+            WCSPHStep
+        for name in self.fluids + self.solids:
+            if name not in steppers:
+                steppers[name] = step_cls()
+        integrator = cls(**steppers)
+        if 'dt' not in kw:
+            kw['dt'] = self.get_timestep()
+        self.solver = Solver(dim=self.dim, integrator=integrator,
+                             kernel=kernel, **kw)
+
+    def get_equations(self):
+        """Assemble the WCSPH equation groups (reference scheme.py:388)."""
+        from pysph_tpu.sph.equation import Group
+        from pysph_tpu.sph.basic_equations import (
+            ContinuityEquation, SummationDensity, XSPHCorrection)
+        from pysph_tpu.sph.wc.basic import (
+            ContinuityEquationDeltaSPH, ContinuityEquationDeltaSPHPreStep,
+            MomentumEquation, MomentumEquationDeltaSPH, TaitEOS,
+            TaitEOSHGCorrection, UpdateSmoothingLengthFerrari)
+        from pysph_tpu.sph.wc.viscosity import (
+            LaminarViscosity, LaminarViscosityDeltaSPH)
+        from pysph_tpu.sph.wc.kernel_correction import (
+            GradientCorrection, GradientCorrectionPreStep)
+
+        equations = []
+        all = self.fluids + self.solids
+
+        if self.summation_density:
+            g0 = [SummationDensity(dest=name, sources=all)
+                  for name in self.fluids]
+            equations.append(Group(equations=g0, real=False))
+
+        g1 = []
+        for name in self.fluids:
+            g1.append(TaitEOS(dest=name, sources=None, rho0=self.rho0,
+                              c0=self.c0, gamma=self.gamma))
+        for name in self.solids:
+            if self.hg_correction:
+                g1.append(TaitEOSHGCorrection(
+                    dest=name, sources=None, rho0=self.rho0, c0=self.c0,
+                    gamma=self.gamma))
+            else:
+                g1.append(TaitEOS(dest=name, sources=None, rho0=self.rho0,
+                                  c0=self.c0, gamma=self.gamma))
+        equations.append(Group(equations=g1, real=False))
+
+        if self.delta_sph and not self.summation_density:
+            eq2_pre = [
+                GradientCorrectionPreStep(dest=name, sources=[name],
+                                          dim=self.dim)
+                for name in self.fluids
+            ]
+            equations.append(Group(equations=eq2_pre, real=False))
+            eq2 = []
+            for name in self.fluids:
+                eq2.extend([
+                    GradientCorrection(dest=name, sources=[name]),
+                    ContinuityEquationDeltaSPHPreStep(
+                        dest=name, sources=[name])])
+            equations.append(Group(equations=eq2))
+
+        g2 = []
+        for name in self.solids:
+            g2.append(ContinuityEquation(dest=name, sources=self.fluids))
+        for name in self.fluids:
+            if not self.summation_density:
+                g2.append(ContinuityEquation(dest=name, sources=all))
+            if self.delta_sph and not self.summation_density:
+                g2.append(ContinuityEquationDeltaSPH(
+                    dest=name, sources=[name], c0=self.c0,
+                    delta=self.delta))
+            alpha = 0.0 if self.delta_sph else self.alpha
+            g2.append(MomentumEquation(
+                dest=name, sources=all, c0=self.c0, alpha=alpha,
+                beta=self.beta, gx=self.gx, gy=self.gy, gz=self.gz,
+                tensile_correction=self.tensile_correction))
+            if self.delta_sph:
+                g2.append(MomentumEquationDeltaSPH(
+                    dest=name, sources=[name], rho0=self.rho0,
+                    c0=self.c0, alpha=self.alpha))
+            g2.append(XSPHCorrection(dest=name, sources=[name]))
+            if abs(self.nu) > 1e-14:
+                if self.delta_sph:
+                    eq = LaminarViscosityDeltaSPH(
+                        dest=name, sources=all, dim=self.dim,
+                        rho0=self.rho0, nu=self.nu)
+                else:
+                    eq = LaminarViscosity(dest=name, sources=all,
+                                          nu=self.nu)
+                g2.insert(-1, eq)
+        equations.append(Group(equations=g2))
+
+        if self.update_h:
+            g3 = [UpdateSmoothingLengthFerrari(
+                dest=x, sources=None, dim=self.dim, hdx=self.hdx)
+                for x in self.fluids]
+            equations.append(Group(equations=g3, real=False))
+
+        return equations
+
+    def setup_properties(self, particles, clean=True):
+        from pysph_tpu.base.utils import get_particle_array_wcsph
+        dummy = get_particle_array_wcsph(name='junk')
+        props = list(dummy.properties.keys())
+        output_props = ['x', 'y', 'z', 'u', 'v', 'w', 'rho', 'm', 'h',
+                        'pid', 'gid', 'tag', 'p']
+        if self.delta_sph:
+            props += [{'name': 'm_mat', 'stride': 9},
+                      {'name': 'gradrho', 'stride': 3}]
+        for pa in particles:
+            self._ensure_properties(pa, props, clean)
+            pa.set_output_arrays(output_props)
+            if pa.name in self.solids:
+                if 'lb_weight' not in pa.constants:
+                    pa.add_constant('lb_weight', 0.1)
