@@ -30,6 +30,7 @@ class Integrator(object):
         self.acceleration_evals = None
         self.finder = None
         self.domain = None
+        self.parallel_manager = None
         self.post_stage_callback = None
         self.fixed_h = False
         self._states = None
@@ -105,8 +106,16 @@ class Integrator(object):
                 self._diag[k] = (old | v) if v.dtype == jnp.bool_ else \
                     jnp.maximum(old, v)
 
+    def set_parallel_manager(self, pm):
+        """A BlockExchange (or compatible) whose ``update(states)``
+        refreshes halos; called before each acceleration evaluation,
+        mirroring reference sph/integrator.py:274-281."""
+        self.parallel_manager = pm
+
     def compute_accelerations(self, index=0, update_nnps=True):
         a_eval = self.acceleration_evals[index]
+        if update_nnps and self.parallel_manager is not None:
+            self._states = self.parallel_manager.update(self._states)
         if update_nnps or index not in self._lists:
             lists, diag = self.finder.update(self._states,
                                              a_eval.nnps_pairs)
