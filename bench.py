@@ -23,8 +23,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pysph_tpu.base.cell_grid import GridSpec
     from pysph_tpu.base.kernels import Gaussian
-    from pysph_tpu.base.nnps import NeighborFinder
     from pysph_tpu.base.utils import get_particle_array_wcsph
     from pysph_tpu.sph.acceleration_eval import AccelerationEval
     from pysph_tpu.sph.basic_equations import (
@@ -63,9 +63,8 @@ def main():
     integrator = EPECIntegrator(fluid=WCSPHStep())
     a_eval = AccelerationEval([pa], equations, kernel)
     integrator.set_acceleration_evals([a_eval])
-    integrator.set_nnps(NeighborFinder(dim=2, radius_scale=3.0,
-                                       max_neighbors=128,
-                                       cell_capacity=32))
+    integrator.set_nnps(GridSpec.from_particles(
+        [pa], dim=2, radius_scale=3.0))
 
     state, _ = pa.to_device()
     states = {'fluid': state}

@@ -406,8 +406,7 @@ class DistributedRunner(object):
         specs = self._spec(gstates)
         in_specs = ({n: specs[n] for n in gstates}, P(), P())
         diag_spec = {
-            'max_neighbors': P(), 'max_occupancy': P(),
-            'neighbor_overflow': P(), 'cell_overflow': P(),
+            'cell_overflow': P(), 'extent_overflow': P(),
             'exchange_overflow': P(), 'capacity_overflow': P(),
             'migration_multihop': P(),
         }
@@ -448,7 +447,7 @@ class DistributedRunner(object):
             return out, dt_next, diag
 
         fn = shard_map(local_step, mesh=self.mesh, in_specs=in_specs,
-                       out_specs=out_specs, check_rep=False)
+                       out_specs=out_specs, check_vma=False)
         return jax.jit(fn)
 
     def step(self, gstates, t, dt):

@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 from pysph_tpu import config as tpu_config
-from pysph_tpu.base.nnps import NeighborFinder
+from pysph_tpu.base.cell_grid import GridSpec
 from pysph_tpu.solver.utils import mkdir
 
 logger = logging.getLogger(__name__)
@@ -285,10 +285,9 @@ class Application(object):
         self.nnps = self.create_nnps()
         if self.nnps is None:
             kernel = self.solver.kernel
-            self.nnps = NeighborFinder(
-                dim=self.solver.dim, radius_scale=kernel.radius_scale,
-                domain=self.domain,
-                max_neighbors=self.options.max_nbrs,
+            self.nnps = GridSpec.from_particles(
+                self.particles, dim=self.solver.dim,
+                radius_scale=kernel.radius_scale, domain=self.domain,
                 cell_capacity=self.options.cell_capacity)
 
         options = self.options

@@ -20,8 +20,8 @@ import os
 import jax
 import numpy as np
 
+from pysph_tpu.base.cell_grid import GridSpec
 from pysph_tpu.base.kernels import CubicSpline
-from pysph_tpu.base.nnps import NeighborFinder
 from pysph_tpu.solver.output import dump as dump_func
 from pysph_tpu.solver.output import load as load_func
 from pysph_tpu.solver.utils import ProgressBar, mkdir
@@ -90,11 +90,12 @@ class Solver(object):
             self.kernel = kernel
         self.equations = equations
         self.acceleration_evals = make_acceleration_evals(
-            particles, equations, self.kernel)
+            particles, equations, self.kernel, domain=self.domain)
         if nnps is None:
-            nnps = NeighborFinder(dim=self.dim,
-                                  radius_scale=self.kernel.radius_scale,
-                                  domain=self.domain)
+            nnps = GridSpec.from_particles(
+                particles, dim=self.dim,
+                radius_scale=self.kernel.radius_scale,
+                domain=self.domain)
         self.nnps = nnps
         integrator = self.integrator
         integrator.set_acceleration_evals(self.acceleration_evals)
@@ -254,23 +255,17 @@ class Solver(object):
     # -- overflow management -------------------------------------------
     @staticmethod
     def _check_overflow(diag):
-        return bool(diag['neighbor_overflow']) or bool(
-            diag['cell_overflow'])
+        return bool(diag['cell_overflow']) or bool(
+            diag['extent_overflow'])
 
     def _handle_overflow(self, diag):
-        finder = self.nnps
-        if bool(diag['neighbor_overflow']):
-            needed = int(diag['max_neighbors'])
-            while finder.max_neighbors < needed:
-                finder.grow(neighbors=True)
-            logger.info('neighbor capacity grown to %d (needed %d)',
-                        finder.max_neighbors, needed)
-        if bool(diag['cell_overflow']):
-            needed = int(diag['max_occupancy'])
-            while finder.cell_capacity < needed:
-                finder.grow(cells=True)
-            logger.info('cell capacity grown to %d (needed %d)',
-                        finder.cell_capacity, needed)
+        spec = self.nnps
+        spec = spec.grow(cells=bool(diag['cell_overflow']),
+                         extent=bool(diag['extent_overflow']))
+        logger.info('grid grown: dims=%s cell_capacity=%d',
+                    spec.dims, spec.cell_capacity)
+        self.nnps = spec
+        self.integrator.set_nnps(spec)
         self._make_jits()
 
     # -- timestep helpers (reference solver.py:647-700) ----------------

@@ -1,18 +1,24 @@
-"""Vectorized acceleration evaluator.
+"""Vectorized acceleration evaluator over the dense cell grid.
 
 Plays the role of the reference ``AccelerationEval`` + ``SPHCompiler`` +
 generated code (/root/reference/pysph/sph/acceleration_eval.py:166,
-sph_compiler.py:26, acceleration_eval_cython.mako:22-131) in one place:
-it organizes Groups per destination array and *traces* the equations'
-batched execution under jit, instead of generating Cython/OpenCL source.
+sph_compiler.py:26, acceleration_eval_cython.mako:22-131): it organizes
+Groups per destination array and *traces* the equations' batched
+execution under jit, instead of generating Cython/OpenCL source.
+
+Execution model (see base/cell_grid.py for why): particle state is
+converted to grid-slot layout once per evaluation (N-sized permutation
+gathers, lazy per property).  In the pair phase dest reads broadcast
+``(C, M, 1)``, source reads are stencil rolls ``(C, 1, S*M)``, so every
+pair quantity is a dense ``(C, M, S*M)`` block that XLA fuses into the
+masked per-particle reductions -- zero gathers on the hot path.
 
 Execution order per group and destination mirrors the reference mako
-template: ``initialize`` (per particle) -> source-less ``loop`` (per
-particle) -> per source: pair ``loop``/``loop_all`` over the neighbor
-matrix -> ``post_loop`` -> ``reduce``.  Group features supported:
-``real``, ``update_nnps``, ``condition`` (via ``lax.cond``), ``iterate``
-with ``converged()`` (via ``lax.while_loop``), ``start_idx``/``stop_idx``,
-``pre``/``post`` and nested sub-groups.
+template: ``initialize`` -> source-less ``loop`` -> per source: pair
+``loop``/``loop_all`` -> ``post_loop`` -> ``reduce``; with ``real``,
+``update_nnps``, ``condition`` (lax.cond), ``iterate`` + ``converged()``
+(lax.while_loop), ``start_idx``/``stop_idx``, ``pre``/``post`` and
+nested sub-groups.
 """
 
 from collections import OrderedDict
@@ -21,11 +27,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pysph_tpu.base.cell_grid import (
+    GridLayout, GridSpec, StencilView, build_layout, from_slots, to_slots)
 from pysph_tpu.base.particle_array import ParticleTAGS
 from pysph_tpu.sph.equation import (
-    ArrayView, Equation, Group, IndexSym, MultiStageEquations, PairDestView,
-    PairSrcView, ReduceView, SymVec, _method_args,
-    get_arrays_used_in_equation)
+    ArrayView, Equation, Group, IndexSym, MultiStageEquations, SymVec,
+    _AccumMax, _AccumMin, _method_args, get_arrays_used_in_equation)
 
 
 class ArraySchema(NamedTuple):
@@ -63,65 +70,235 @@ def check_equation_array_properties(equation, schemas):
 
 
 def _active_mask(store):
+    """Active mask for a *flat* state dict (steppers etc.)."""
     cap = store['x'].shape[0]
     return jnp.arange(cap, dtype=jnp.int32) < store['n_act']
 
 
 # ---------------------------------------------------------------------------
-# Pair context: precomputed symbols over the neighbor matrix
+# Slot store: lazy flat <-> slot conversion with dirty tracking
 # ---------------------------------------------------------------------------
-class PairContext(object):
-    """Lazily computes precomputed pair symbols (reference
-    sph/equation.py:188-343) for one (dest, source, neighbor-list) triple.
-    """
+class SlotStore(object):
+    """Dict-like view of one array's state in grid-slot layout.
+
+    Properties are converted lazily (one permutation gather each way);
+    writes are tracked and folded back into the flat state by
+    ``finalize``.  Constants and ``n_act`` pass through untouched."""
+
+    def __init__(self, flat, layout, schema):
+        self.flat = dict(flat)
+        self.layout = layout
+        self.schema = schema
+        self._consts = set(schema.consts) | {'n_act'}
+        self.cache = {}
+        self.dirty = set()
+
+    def __contains__(self, key):
+        return key in self.flat
+
+    def __getitem__(self, key):
+        if key in self._consts:
+            return self.flat[key]
+        if key not in self.cache:
+            self.cache[key] = to_slots(self.layout, self.flat[key])
+        return self.cache[key]
+
+    def __setitem__(self, key, value):
+        if key in self._consts:
+            self.flat[key] = value
+        else:
+            self.cache[key] = value
+            self.dirty.add(key)
+
+    def finalize(self):
+        """Fold dirty slot arrays back; returns the flat state dict."""
+        for key in self.dirty:
+            self.flat[key] = from_slots(self.layout, self.cache[key],
+                                        self.flat[key])
+        self.dirty = set()
+        return self.flat
+
+
+class GridHandle(NamedTuple):
+    """One evaluation's binning: spec + per-array layouts + geometry."""
+    spec: GridSpec
+    origin: jnp.ndarray
+    widths: jnp.ndarray
+    layouts: dict
+
+
+# ---------------------------------------------------------------------------
+# Pair views (grid mode)
+# ---------------------------------------------------------------------------
+class GridPairDest(object):
+    """Dest-array view in the pair phase: reads ``(C, M, 1)``; writes
+    accumulate over the candidate axis (masked sum / max / min)."""
+
+    __slots__ = ('store', 'name', 'stride', 'ctx')
+
+    def __init__(self, store, name, stride, ctx):
+        self.store = store
+        self.name = name
+        self.stride = stride
+        self.ctx = ctx
+
+    def _col(self, key):
+        if key.mul != self.stride:
+            raise IndexError(
+                'property %r has stride %d but was indexed with stride %d'
+                % (self.name, self.stride, key.mul))
+        arr = self.store[self.name]
+        return arr if self.stride == 1 else arr[:, key.off]
+
+    def __getitem__(self, key):
+        if not isinstance(key, IndexSym):
+            return self.store[self.name][key]
+        C, M = self.ctx.C, self.ctx.M
+        return self._col(key).reshape(C, M, 1)
+
+    def __setitem__(self, key, value):
+        if not isinstance(key, IndexSym):
+            self.store[self.name] = self.store[self.name].at[key].set(
+                value)
+            return
+        ctx = self.ctx
+        C, M = ctx.C, ctx.M
+        col = self._col(key)
+        mask = ctx.pair_mask
+        if isinstance(value, _AccumMax):
+            v = jnp.broadcast_to(jnp.asarray(value.value, col.dtype),
+                                 mask.shape)
+            seg = jnp.max(jnp.where(mask, v, -jnp.inf), axis=2)
+            new = jnp.maximum(col.reshape(C, M),
+                              seg.astype(col.dtype)).reshape(-1)
+        elif isinstance(value, _AccumMin):
+            v = jnp.broadcast_to(jnp.asarray(value.value, col.dtype),
+                                 mask.shape)
+            seg = jnp.min(jnp.where(mask, v, jnp.inf), axis=2)
+            new = jnp.minimum(col.reshape(C, M),
+                              seg.astype(col.dtype)).reshape(-1)
+        else:
+            v = jnp.asarray(value, dtype=col.dtype)
+            if v.ndim == 3 and v.shape[2] == mask.shape[2]:
+                delta = v - col.reshape(C, M, 1)
+                acc = jnp.sum(jnp.where(mask, delta, 0.0), axis=2)
+                new = (col.reshape(C, M) + acc).reshape(-1)
+            else:
+                # per-particle assignment: (C,M,1)/(C,M)/(S,)/scalar
+                if v.ndim == 3:
+                    v = v[:, :, 0]
+                new = jnp.broadcast_to(v.reshape(-1) if v.ndim == 2
+                                       else v, col.shape)
+        wm = ctx.write_mask
+        new = jnp.where(wm, new, col)
+        if self.stride == 1:
+            self.store[self.name] = new
+        else:
+            self.store[self.name] = self.store[self.name].at[
+                :, key.off].set(new)
+
+
+class GridPairSrc(object):
+    """Source-array view in the pair phase: stencil reads (C, 1, S*M)."""
+
+    __slots__ = ('store', 'name', 'stride', 'ctx')
+
+    def __init__(self, store, name, stride, ctx):
+        self.store = store
+        self.name = name
+        self.stride = stride
+        self.ctx = ctx
+
+    def __getitem__(self, key):
+        if not isinstance(key, IndexSym):
+            return self.store[self.name][key]
+        if key.mul != self.stride:
+            raise IndexError(
+                'property %r has stride %d but was indexed with stride %d'
+                % (self.name, self.stride, key.mul))
+        return self.ctx.sgather(self.store, self.name, key.off,
+                                self.stride)
+
+    def __setitem__(self, key, value):
+        raise ValueError('equations may only write d_* arrays at d_idx '
+                         '(attempted write to source %r)' % self.name)
+
+
+class GridPairContext(object):
+    """Precomputed pair symbols (reference sph/equation.py:188-343) over
+    the dense stencil blocks."""
 
     SYMBOLS = ('HIJ', 'EPS', 'RHOIJ', 'RHOIJ1', 'XIJ', 'VIJ', 'R2IJ',
                'RIJ', 'WIJ', 'WI', 'WJ', 'DWIJ', 'DWI', 'DWJ', 'GHI',
                'GHJ', 'GHIJ', 'WDASHI', 'WDASHJ', 'WDASHIJ', 'WDP')
 
-    def __init__(self, dest_store, src_store, dest_schema, src_schema,
-                 nbrs, kernel, domain, write_mask):
+    def __init__(self, dest_store, src_store, stencil, kernel, domain,
+                 radius_scale, base_write_mask):
         self.dest_store = dest_store
         self.src_store = src_store
-        self.dest_schema = dest_schema
-        self.src_schema = src_schema
-        self.idx = nbrs.idx
-        self.pair_mask = nbrs.mask
+        self.stencil = stencil
         self.kernel = kernel
         self.domain = domain
-        self.write_mask = write_mask
+        self.radius_scale = radius_scale
+        spec = stencil.spec
+        self.C = spec.n_cells
+        self.M = spec.cell_capacity
+        self.base_write_mask = base_write_mask  # (S,) slot-level
         self._sym = {}
-        self._gather_cache = {}
+        self._sgather = {}
         self._dest_views = {}
         self._src_views = {}
+        self._pair_mask = None
+        self.write_mask = base_write_mask
 
-    # basic accessors
+    # accessors -------------------------------------------------------
     def dget(self, prop):
-        return self.dest_store[prop][:, None]
+        return self.dest_store[prop].reshape(self.C, self.M, 1)
+
+    def sgather(self, store, prop, off=0, stride=1):
+        ck = (prop, off)
+        if ck not in self._sgather:
+            arr = store[prop]
+            col = arr if stride == 1 else arr[:, off]
+            self._sgather[ck] = self.stencil.stencil(col)
+        return self._sgather[ck]
 
     def sget(self, prop):
-        ck = (prop, 0)
-        if ck not in self._gather_cache:
-            self._gather_cache[ck] = self.src_store[prop][self.idx]
-        return self._gather_cache[ck]
+        return self.sgather(self.src_store, prop)
 
     def dest_view(self, prop):
         if prop not in self._dest_views:
-            self._dest_views[prop] = PairDestView(
+            self._dest_views[prop] = GridPairDest(
                 self.dest_store, prop,
-                self.dest_schema.strides.get(prop, 1),
-                self.pair_mask, self.write_mask)
+                self.dest_store.schema.strides.get(prop, 1), self)
         return self._dest_views[prop]
 
     def src_view(self, prop):
         if prop not in self._src_views:
-            self._src_views[prop] = PairSrcView(
+            self._src_views[prop] = GridPairSrc(
                 self.src_store, prop,
-                self.src_schema.strides.get(prop, 1),
-                self.idx, self._gather_cache)
+                self.src_store.schema.strides.get(prop, 1), self)
         return self._src_views[prop]
 
-    # precomputed symbols
+    @property
+    def pair_mask(self):
+        """(C, M, S*M): dest slot valid & src candidate valid & within
+        the symmetric support radius (reference
+        linked_list_nnps.pyx:188)."""
+        if self._pair_mask is None:
+            dmask = self.dest_store.layout.slot_mask.reshape(
+                self.C, self.M, 1)
+            smask = self.stencil.mask()
+            xij = self.sym('XIJ')
+            r2 = self.sym('R2IJ')
+            rs = self.radius_scale
+            hi = rs * self.dget('h')
+            hj = rs * self.sgather(self.src_store, 'h')
+            sup = jnp.maximum(hi, hj)
+            self._pair_mask = dmask & smask & (r2 < sup * sup)
+        return self._pair_mask
+
+    # precomputed symbols ---------------------------------------------
     def sym(self, name):
         if name not in self._sym:
             self._sym[name] = getattr(self, '_c_' + name.lower())()
@@ -138,7 +315,8 @@ class PairContext(object):
         return 0.5 * (self.dget('rho') + self.sget('rho'))
 
     def _c_rhoij1(self):
-        return 1.0 / self.sym('RHOIJ')
+        return 1.0 / jnp.where(self.sym('RHOIJ') != 0.0,
+                               self.sym('RHOIJ'), 1.0)
 
     def _c_xij(self):
         dx = self.dget('x') - self.sget('x')
@@ -160,58 +338,81 @@ class PairContext(object):
     def _c_rij(self):
         return jnp.sqrt(self.sym('R2IJ'))
 
+    def _safe_h(self, h):
+        return jnp.where(h > 0.0, h, 1.0)
+
     def _c_wij(self):
         return self.kernel.kernel(self.sym('XIJ'), self.sym('RIJ'),
-                                  self.sym('HIJ'))
+                                  self._safe_h(self.sym('HIJ')))
 
     def _c_wi(self):
         return self.kernel.kernel(self.sym('XIJ'), self.sym('RIJ'),
-                                  self.dget('h'))
+                                  self._safe_h(self.dget('h')))
 
     def _c_wj(self):
         return self.kernel.kernel(self.sym('XIJ'), self.sym('RIJ'),
-                                  self.sget('h'))
+                                  self._safe_h(self.sget('h')))
+
+    def _grad(self, h):
+        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
+                                 self._safe_h(h))
+        return SymVec([g[0], g[1], g[2]])
 
     def _c_dwij(self):
-        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
-                                 self.sym('HIJ'))
-        return SymVec([g[0], g[1], g[2]])
+        return self._grad(self.sym('HIJ'))
 
     def _c_dwi(self):
-        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
-                                 self.dget('h'))
-        return SymVec([g[0], g[1], g[2]])
+        return self._grad(self.dget('h'))
 
     def _c_dwj(self):
-        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
-                                 self.sget('h'))
-        return SymVec([g[0], g[1], g[2]])
+        return self._grad(self.sget('h'))
 
     def _c_ghi(self):
         return self.kernel.gradient_h(self.sym('XIJ'), self.sym('RIJ'),
-                                      self.dget('h'))
+                                      self._safe_h(self.dget('h')))
 
     def _c_ghj(self):
         return self.kernel.gradient_h(self.sym('XIJ'), self.sym('RIJ'),
-                                      self.sget('h'))
+                                      self._safe_h(self.sget('h')))
 
     def _c_ghij(self):
         return self.kernel.gradient_h(self.sym('XIJ'), self.sym('RIJ'),
-                                      self.sym('HIJ'))
+                                      self._safe_h(self.sym('HIJ')))
 
     def _c_wdashi(self):
-        return self.kernel.dwdq(self.sym('RIJ'), self.dget('h'))
+        return self.kernel.dwdq(self.sym('RIJ'),
+                                self._safe_h(self.dget('h')))
 
     def _c_wdashj(self):
-        return self.kernel.dwdq(self.sym('RIJ'), self.sget('h'))
+        return self.kernel.dwdq(self.sym('RIJ'),
+                                self._safe_h(self.sget('h')))
 
     def _c_wdashij(self):
-        return self.kernel.dwdq(self.sym('RIJ'), self.sym('HIJ'))
+        return self.kernel.dwdq(self.sym('RIJ'),
+                                self._safe_h(self.sym('HIJ')))
 
     def _c_wdp(self):
-        hij = self.sym('HIJ')
+        hij = self._safe_h(self.sym('HIJ'))
         return self.kernel.kernel(self.sym('XIJ'),
                                   self.kernel.get_deltap() * hij, hij)
+
+
+class ReduceView(object):
+    """The ``dst`` argument of ``reduce(dst, t, dt)`` in slot space."""
+
+    def __init__(self, store, schema, write_mask, active):
+        object.__setattr__(self, '_store', store)
+        object.__setattr__(self, '_schema', schema)
+        object.__setattr__(self, 'mask', write_mask)
+        object.__setattr__(self, 'active', active)
+
+    def __getattr__(self, name):
+        store = object.__getattribute__(self, '_store')
+        if name in store:
+            schema = object.__getattribute__(self, '_schema')
+            return ArrayView(store, name,
+                             stride=schema.strides.get(name, 1))
+        raise AttributeError(name)
 
 
 # ---------------------------------------------------------------------------
@@ -219,8 +420,8 @@ class PairContext(object):
 # ---------------------------------------------------------------------------
 def _bind_particle_phase(method, store, schema, write_mask, t, dt,
                          kernel, src_store=None, src_schema=None):
-    """Run a per-particle method (initialize / source-less loop /
-    post_loop / stepper stage) batched over all particles."""
+    """Run a per-particle method batched over all slots (or particles
+    when ``store`` is a flat dict — used for stepper stages)."""
     kwargs = {}
     views = {}
     for arg in _method_args(method):
@@ -250,13 +451,13 @@ def _bind_particle_phase(method, store, schema, write_mask, t, dt,
                 src_store, prop, stride=src_schema.strides.get(prop, 1),
                 write_mask=None, is_const=prop in src_schema.consts)
         else:
-            raise ValueError('cannot bind argument %r of %r' % (arg, method))
+            raise ValueError('cannot bind argument %r of %r' % (arg,
+                                                                method))
     method(**kwargs)
 
 
 def _bind_pair_phase(method, ctx, t, dt):
-    """Run a pair method (``loop`` / ``loop_all``) batched over the
-    neighbor matrix."""
+    """Run a pair method (``loop`` / ``loop_all``) over the stencil."""
     kwargs = {}
     for arg in _method_args(method):
         if arg == 'd_idx':
@@ -270,19 +471,21 @@ def _bind_pair_phase(method, ctx, t, dt):
         elif arg == 'SPH_KERNEL':
             kwargs[arg] = ctx.kernel
         elif arg == 'NBRS':
-            kwargs[arg] = jnp.where(ctx.pair_mask, ctx.idx, -1)
+            kwargs[arg] = ctx.stencil.candidate_particles()[:, None, :]
         elif arg == 'N_NBRS':
-            kwargs[arg] = jnp.sum(ctx.pair_mask, axis=1).astype(jnp.int32)
+            kwargs[arg] = jnp.sum(ctx.pair_mask, axis=2,
+                                  keepdims=True).astype(jnp.int32)
         elif arg == 'PAIR_MASK':
             kwargs[arg] = ctx.pair_mask
-        elif arg in PairContext.SYMBOLS:
+        elif arg in GridPairContext.SYMBOLS:
             kwargs[arg] = ctx.sym(arg)
         elif arg.startswith('d_'):
             kwargs[arg] = ctx.dest_view(arg[2:])
         elif arg.startswith('s_'):
             kwargs[arg] = ctx.src_view(arg[2:])
         else:
-            raise ValueError('cannot bind argument %r of %r' % (arg, method))
+            raise ValueError('cannot bind argument %r of %r' % (arg,
+                                                                method))
     method(**kwargs)
 
 
@@ -290,17 +493,10 @@ def _bind_pair_phase(method, ctx, t, dt):
 # AccelerationEval
 # ---------------------------------------------------------------------------
 class AccelerationEval(object):
-    """Evaluates one list of Groups over the particle states.
-
-    Parameters
-    ----------
-    particle_arrays : list of ParticleArray (used for schemas/validation)
-    equations : list of Equation or Group
-    kernel : SmoothingKernel
-    """
+    """Evaluates one list of Groups over the particle states."""
 
     def __init__(self, particle_arrays, equations, kernel, mode='serial',
-                 backend=None, domain=None):
+                 backend=None, domain=None, grid_spec=None):
         self.particle_arrays = particle_arrays
         self.kernel = kernel
         self.mode = mode
@@ -310,7 +506,11 @@ class AccelerationEval(object):
         self.groups = self._make_groups(equations)
         self._validate()
         self.nnps_pairs = self._collect_pairs(self.groups)
-        self.finder = None
+        self.arrays_used = sorted({n for pair in self.nnps_pairs
+                                   for n in pair} |
+                                  {eq.dest for eq in
+                                   self._iter_equations()})
+        self.grid_spec = grid_spec
 
     # -- setup ---------------------------------------------------------
     @staticmethod
@@ -359,60 +559,104 @@ class AccelerationEval(object):
                     pairs.append((eq.dest, src))
         return pairs
 
-    def set_nnps(self, finder):
-        self.finder = finder
+    def set_nnps(self, grid_spec):
+        """Attach the static grid spec (the NNPS of this framework)."""
+        self.grid_spec = grid_spec
 
     def set_domain(self, domain):
         self.domain = domain
 
+    # -- binning -------------------------------------------------------
+    def prepare(self, states):
+        """Bin all involved arrays; returns (GridHandle, diag)."""
+        spec = self.grid_spec
+        sub = {n: states[n] for n in self.arrays_used}
+        origin, widths, _cell = spec.geometry(sub)
+        layouts = {}
+        cell_ovf = jnp.asarray(False)
+        ext_ovf = jnp.asarray(False)
+        for name in self.arrays_used:
+            lay = build_layout(spec, states[name], origin, widths)
+            layouts[name] = lay
+            cell_ovf = cell_ovf | lay.cell_overflow
+            ext_ovf = ext_ovf | lay.extent_overflow
+        diag = {'cell_overflow': cell_ovf, 'extent_overflow': ext_ovf}
+        return GridHandle(spec=spec, origin=origin, widths=widths,
+                          layouts=layouts), diag
+
     # -- execution -----------------------------------------------------
     def update_and_compute(self, t, dt, states):
-        """Rebuild neighbor lists then evaluate all groups.
-
-        Returns (new_states, diag)."""
-        lists, diag = self.finder.update(states, self.nnps_pairs)
-        states = self.compute(t, dt, states, lists)
+        handle, diag = self.prepare(states)
+        states = self.compute(t, dt, states, handle)
         return states, diag
 
-    def compute(self, t, dt, states, lists):
+    def compute(self, t, dt, states, handle):
         states = dict(states)
+        stores = self._wrap(states, handle)
         for group in self.groups:
-            states = self._run_group(group, t, dt, states, lists)
-        return states
+            stores, handle = self._dispatch_group(group, t, dt, stores,
+                                                  handle)
+        return self._finalize(stores, states)
 
-    # -- group machinery ----------------------------------------------
-    def _run_group(self, group, t, dt, states, lists):
-        if group.condition is not None:
-            cond = group.condition(t, dt)
-            return jax.lax.cond(
-                cond,
-                lambda s: self._run_group_body(group, t, dt, s, lists),
-                lambda s: s,
-                states)
-        return self._run_group_body(group, t, dt, states, lists)
+    def _wrap(self, states, handle):
+        return {name: SlotStore(states[name], handle.layouts[name],
+                                self.schemas[name])
+                if name in handle.layouts else states[name]
+                for name in states}
 
-    def _run_group_body(self, group, t, dt, states, lists):
-        if not group.iterate:
-            return self._run_group_once(group, t, dt, states, lists)
+    def _finalize(self, stores, states):
+        out = {}
+        for name, store in stores.items():
+            out[name] = store.finalize() if isinstance(store, SlotStore) \
+                else store
+        return out
+
+    def _dispatch_group(self, group, t, dt, stores, handle):
+        if group.condition is not None or group.iterate:
+            # functional boundary: fold to flat states, run under
+            # lax.cond / lax.while_loop, re-wrap.
+            states = self._finalize(stores, None)
+            if group.condition is not None:
+                cond = group.condition(t, dt)
+                states = jax.lax.cond(
+                    cond,
+                    lambda s: self._run_group_functional(
+                        group, t, dt, s, handle),
+                    lambda s: s, states)
+            else:
+                states = self._run_iterated(group, t, dt, states, handle)
+            return self._wrap(states, handle), handle
+        stores = self._run_group_once(group, t, dt, stores, handle)
+        if group.update_nnps:
+            states = self._finalize(stores, None)
+            handle, _diag = self.prepare(states)
+            stores = self._wrap(states, handle)
+        return stores, handle
+
+    def _run_group_functional(self, group, t, dt, states, handle):
+        stores = self._wrap(states, handle)
+        stores = self._run_group_once(group, t, dt, stores, handle)
+        return self._finalize(stores, None)
+
+    def _run_iterated(self, group, t, dt, states, handle):
         max_it = int(group.max_iterations)
         min_it = int(group.min_iterations)
 
         def body(carry):
             s, it, _ = carry
-            s = self._run_group_once(group, t, dt, s, lists)
-            conv = self._group_converged(group, s)
+            s = self._run_group_functional(group, t, dt, s, handle)
+            conv = self._group_converged(group, s, handle)
             return (s, it + 1, conv)
 
         def cond(carry):
             _, it, conv = carry
             return (it < max_it) & ~(conv & (it >= min_it))
 
-        init = (states, jnp.asarray(0, jnp.int32),
-                jnp.asarray(False))
+        init = (states, jnp.asarray(0, jnp.int32), jnp.asarray(False))
         states, _, _ = jax.lax.while_loop(cond, body, init)
         return states
 
-    def _group_converged(self, group, states):
+    def _group_converged(self, group, states, handle):
         conv = jnp.asarray(True)
         for eq in self._iter_equations([group]):
             fn = getattr(eq, 'converged', None)
@@ -420,9 +664,11 @@ class AccelerationEval(object):
                 continue
             args = _method_args(fn)
             if 'dst' in args:
-                store = dict(states[eq.dest])
+                store = SlotStore(states[eq.dest],
+                                  handle.layouts[eq.dest],
+                                  self.schemas[eq.dest])
                 view = ReduceView(store, self.schemas[eq.dest], None,
-                                  _active_mask(store))
+                                  store.layout.slot_mask)
                 val = fn(dst=view)
             else:
                 val = fn()
@@ -438,75 +684,72 @@ class AccelerationEval(object):
         return dests
 
     def _write_mask(self, group, store):
-        mask = _active_mask(store)
+        layout = store.layout
+        mask = layout.slot_mask
         if group.real:
             mask = mask & (store['tag'] == ParticleTAGS.Local)
         start = group.start_idx
         stop = group.stop_idx
         if (start not in (0, None)) or stop is not None:
-            cap = store['x'].shape[0]
-            ar = jnp.arange(cap, dtype=jnp.int32)
+            pid = layout.slot_to_particle
             if isinstance(start, str):
                 start = store[start][0].astype(jnp.int32)
             if start not in (0, None):
-                mask = mask & (ar >= start)
+                mask = mask & (pid >= start)
             if stop is not None:
                 if isinstance(stop, str):
                     stop = store[stop][0].astype(jnp.int32)
-                mask = mask & (ar < stop)
+                mask = mask & (pid < stop)
         return mask
 
-    def _run_group_once(self, group, t, dt, states, lists):
+    def _run_group_once(self, group, t, dt, stores, handle):
         if group.has_subgroups:
             for sub in group.equations:
-                states = self._run_group(sub, t, dt, states, lists)
-            return states
+                stores, handle = self._dispatch_group(sub, t, dt, stores,
+                                                      handle)
+            return stores
         if group.pre is not None:
             group.pre()
-        states = dict(states)
         kernel = self.kernel
         for dest, eqs in self._dest_order(group).items():
             schema = self.schemas[dest]
-            store = dict(states[dest])
-            states[dest] = store  # views mutate `store` in place
+            store = stores[dest]
             write_mask = self._write_mask(group, store)
 
             for eq in eqs:
                 if hasattr(eq, 'py_initialize'):
                     raise NotImplementedError(
-                        'py_initialize (host code) is not supported inside '
-                        'the jitted evaluation; restructure %r' % eq)
+                        'py_initialize (host code) is not supported '
+                        'inside the jitted evaluation; restructure %r'
+                        % eq)
 
-            # initialize
             for eq in eqs:
                 fn = getattr(eq, 'initialize', None)
                 if fn is not None:
                     _bind_particle_phase(fn, store, schema, write_mask,
                                          t, dt, kernel)
-            # source-less equations: `loop` is a per-particle op
             for eq in eqs:
                 if eq.no_source:
                     fn = getattr(eq, 'loop', None)
                     if fn is not None:
-                        _bind_particle_phase(fn, store, schema, write_mask,
-                                             t, dt, kernel)
-            # per-source pair loops
+                        _bind_particle_phase(fn, store, schema,
+                                             write_mask, t, dt, kernel)
             sources = OrderedDict()
             for eq in eqs:
                 for src in (eq.sources or ()):
                     sources.setdefault(src, []).append(eq)
             for src, src_eqs in sources.items():
-                src_store = store if src == dest else states[src]
-                nl = lists[(dest, src)]
-                ctx = PairContext(store, src_store, schema,
-                                  self.schemas[src], nl, kernel,
-                                  self.domain, write_mask)
+                src_store = stores[src]
+                stencil = StencilView(handle.spec, src_store.layout)
+                ctx = GridPairContext(
+                    store, src_store, stencil, kernel, self.domain,
+                    self.grid_spec.radius_scale, write_mask)
                 for eq in src_eqs:
                     fn = getattr(eq, 'initialize_pair', None)
                     if fn is not None:
                         _bind_particle_phase(
-                            fn, store, schema, write_mask, t, dt, kernel,
-                            src_store=src_store,
+                            fn, store, schema, write_mask, t, dt,
+                            kernel, src_store=src_store,
                             src_schema=self.schemas[src])
                     fn = getattr(eq, 'loop', None)
                     if fn is not None:
@@ -514,30 +757,30 @@ class AccelerationEval(object):
                     fn = getattr(eq, 'loop_all', None)
                     if fn is not None:
                         _bind_pair_phase(fn, ctx, t, dt)
-            # post_loop
             for eq in eqs:
                 fn = getattr(eq, 'post_loop', None)
                 if fn is not None:
                     _bind_particle_phase(fn, store, schema, write_mask,
                                          t, dt, kernel)
-            # reduce
             for eq in eqs:
                 fn = getattr(eq, 'reduce', None)
                 if fn is not None:
                     view = ReduceView(store, schema, write_mask,
-                                      _active_mask(store))
+                                      store.layout.slot_mask)
                     fn(dst=view, t=t, dt=dt)
         if group.post is not None:
             group.post()
-        return states
+        return stores
 
 
 def make_acceleration_evals(particle_arrays, equations, kernel,
-                            mode='serial', backend=None, domain=None):
-    """One AccelerationEval per stage (reference acceleration_eval.py:76)."""
+                            mode='serial', backend=None, domain=None,
+                            grid_spec=None):
+    """One AccelerationEval per stage (reference acceleration_eval.py:76).
+    """
     if isinstance(equations, MultiStageEquations):
         return [AccelerationEval(particle_arrays, eqs, kernel, mode,
-                                 backend, domain)
+                                 backend, domain, grid_spec)
                 for eqs in equations.groups]
     return [AccelerationEval(particle_arrays, equations, kernel, mode,
-                             backend, domain)]
+                             backend, domain, grid_spec)]

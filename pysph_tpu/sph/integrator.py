@@ -45,10 +45,10 @@ class Integrator(object):
             a_evals = [a_evals]
         self.acceleration_evals = list(a_evals)
 
-    def set_nnps(self, finder):
-        self.finder = finder
+    def set_nnps(self, grid_spec):
+        self.finder = grid_spec
         for a_eval in self.acceleration_evals or ():
-            a_eval.set_nnps(finder)
+            a_eval.set_nnps(grid_spec)
 
     def set_domain(self, domain):
         self.domain = domain
@@ -69,13 +69,17 @@ class Integrator(object):
     # ------------------------------------------------------------------
     # Pure-functional entry points
     # ------------------------------------------------------------------
+    def _fresh_diag(self):
+        return {'cell_overflow': jnp.asarray(False),
+                'extent_overflow': jnp.asarray(False)}
+
     def step(self, states, t, dt):
         """Advance one timestep.  Returns (new_states, diag)."""
         self._states = dict(states)
         self._t = t
         self._dt = dt
         self._lists = {}
-        self._diag = None
+        self._diag = self._fresh_diag()
         self.one_timestep(t, dt)
         states, diag = self._states, self._diag
         self._states = None
@@ -88,7 +92,7 @@ class Integrator(object):
         self._t = t
         self._dt = dt
         self._lists = {}
-        self._diag = None
+        self._diag = self._fresh_diag()
         self.compute_accelerations(0, update_nnps=True)
         states, diag = self._states, self._diag
         self._states = None
@@ -98,13 +102,13 @@ class Integrator(object):
     # one_timestep building blocks
     # ------------------------------------------------------------------
     def _merge_diag(self, diag):
-        if self._diag is None:
-            self._diag = dict(diag)
-        else:
-            for k, v in diag.items():
+        for k, v in diag.items():
+            if k in self._diag:
                 old = self._diag[k]
                 self._diag[k] = (old | v) if v.dtype == jnp.bool_ else \
                     jnp.maximum(old, v)
+            else:
+                self._diag[k] = v
 
     def set_parallel_manager(self, pm):
         """A BlockExchange (or compatible) whose ``update(states)``
@@ -117,9 +121,8 @@ class Integrator(object):
         if update_nnps and self.parallel_manager is not None:
             self._states = self.parallel_manager.update(self._states)
         if update_nnps or index not in self._lists:
-            lists, diag = self.finder.update(self._states,
-                                             a_eval.nnps_pairs)
-            self._lists[index] = lists
+            handle, diag = a_eval.prepare(self._states)
+            self._lists[index] = handle
             self._merge_diag(diag)
         self._states = a_eval.compute(self._t, self._dt, self._states,
                                       self._lists[index])

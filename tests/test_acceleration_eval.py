@@ -9,8 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pysph_tpu.base.cell_grid import GridSpec
 from pysph_tpu.base.kernels import CubicSpline
-from pysph_tpu.base.nnps import NeighborFinder
 from pysph_tpu.base.utils import get_particle_array
 from pysph_tpu.sph.acceleration_eval import AccelerationEval
 from pysph_tpu.sph.equation import MAX, Equation, Group
@@ -20,8 +20,9 @@ from pysph_tpu.sph.basic_equations import SummationDensity
 def _setup(pa_list, equations, dim=1, kernel=None):
     kernel = kernel or CubicSpline(dim=dim)
     a_eval = AccelerationEval(pa_list, equations, kernel)
-    finder = NeighborFinder(dim=dim, radius_scale=kernel.radius_scale)
-    a_eval.set_nnps(finder)
+    spec = GridSpec.from_particles(pa_list, dim=dim,
+                                   radius_scale=kernel.radius_scale)
+    a_eval.set_nnps(spec)
     states = {}
     for pa in pa_list:
         states[pa.name], _ = pa.to_device()
@@ -30,7 +31,8 @@ def _setup(pa_list, equations, dim=1, kernel=None):
 
 def _compute(a_eval, states, t=0.0, dt=0.1):
     new_states, diag = a_eval.update_and_compute(t, dt, states)
-    assert not bool(diag['neighbor_overflow'])
+    assert not bool(diag['cell_overflow'])
+    assert not bool(diag['extent_overflow'])
     return new_states
 
 

@@ -6,7 +6,7 @@ import jax
 import numpy as np
 
 from pysph_tpu.base.kernels import CubicSpline
-from pysph_tpu.base.nnps import NeighborFinder
+from pysph_tpu.base.cell_grid import GridSpec
 from pysph_tpu.base.utils import get_particle_array_wcsph
 from pysph_tpu.sph.acceleration_eval import AccelerationEval
 from pysph_tpu.sph.equation import Equation
@@ -56,7 +56,8 @@ def _integrate(integrator_cls, stepper, equation_cls, tf, dt):
     a_eval = AccelerationEval([pa], [equation_cls('fluid', None)], kernel)
     integrator = integrator_cls(fluid=stepper)
     integrator.set_acceleration_evals([a_eval])
-    integrator.set_nnps(NeighborFinder(dim=1, radius_scale=2.0))
+    integrator.set_nnps(GridSpec.from_particles(
+        [pa], dim=1, radius_scale=2.0))
     states = {'fluid': pa.to_device()[0]}
     states, _ = integrator.initial_acceleration(states, 0.0, dt)
 
@@ -126,7 +127,8 @@ def test_adaptive_dt_from_factors():
         [pa], [HarmonicForce('fluid', None)], kernel)
     integrator = EPECIntegrator(fluid=WCSPHStep())
     integrator.set_acceleration_evals([a_eval])
-    integrator.set_nnps(NeighborFinder(dim=1, radius_scale=2.0))
+    integrator.set_nnps(GridSpec.from_particles(
+        [pa], dim=1, radius_scale=2.0))
     states = {'fluid': pa.to_device()[0]}
     import jax.numpy as jnp
     dt = integrator.compute_time_step(states, jnp.asarray(1.0), cfl=0.5)

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from pysph_tpu.base.kernels import CubicSpline
-from pysph_tpu.base.nnps import NeighborFinder
+from pysph_tpu.base.cell_grid import GridSpec
 from pysph_tpu.base.utils import get_particle_array_wcsph
 from pysph_tpu.parallel.domain_decomp import (
     BlockPartition, DistributedRunner)
@@ -52,8 +52,8 @@ def _make_integrator(pa):
     a_eval = AccelerationEval([pa], _equations(), kernel)
     integ = EPECIntegrator(fluid=WCSPHStep())
     integ.set_acceleration_evals([a_eval])
-    integ.set_nnps(NeighborFinder(dim=2, radius_scale=2.0,
-                                  max_neighbors=128))
+    integ.set_nnps(GridSpec.from_particles([pa], dim=2,
+                                           radius_scale=2.0))
     return integ
 
 
@@ -98,7 +98,8 @@ def test_serial_vs_sharded_equality(n_blocks):
     t = 0.0
     for i in range(n_steps):
         gstates, dt_next, diag = runner.step(gstates, t, dt)
-        assert not bool(diag['neighbor_overflow'])
+        assert not bool(diag['cell_overflow'])
+        assert not bool(diag['extent_overflow'])
         assert not bool(diag['exchange_overflow'])
         assert not bool(diag['capacity_overflow'])
         assert not bool(diag['migration_multihop'])
