@@ -21,6 +21,7 @@ grid extent) are detected and reported so the host can grow + re-jit.
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,9 +58,13 @@ class GridSpec(object):
     """
 
     def __init__(self, dim, radius_scale, dims, cell_capacity,
-                 domain=None):
+                 domain=None, cell_slack=1.1):
         self.dim = int(dim)
         self.radius_scale = float(radius_scale)
+        # Cells are slightly larger than the support radius so a binning
+        # built at step start stays valid for every evaluation within the
+        # step (particles move << h per step under CFL).
+        self.cell_slack = float(cell_slack)
         dims = tuple(int(d) for d in dims)
         while len(dims) < 3:
             dims = dims + (1,)
@@ -162,7 +167,7 @@ class GridSpec(object):
             for d, c in enumerate((s['x'], s['y'], s['z'])):
                 mins[d] = jnp.minimum(mins[d], jnp.min(
                     jnp.where(act, c, big)))
-        cell0 = self.radius_scale * hmax
+        cell0 = self.cell_slack * self.radius_scale * hmax
         per = self.periodic
         origin = []
         widths = []
@@ -220,11 +225,15 @@ def build_layout(spec, state, origin, widths):
     key = jnp.where(act, flat, spec.n_cells)
     order = jnp.argsort(key).astype(jnp.int32)
     sorted_key = key[order]
-    # rank within the cell = position - first position of this key
+    # rank within cell = position - start-of-run; the run start is the
+    # running max over positions where the key changes (associative scan
+    # compiles far faster on TPU than a searchsorted over N).
     pos = jnp.arange(cap, dtype=jnp.int32)
-    first = jnp.searchsorted(sorted_key, sorted_key, side='left'
-                             ).astype(jnp.int32)
-    rank = pos - first
+    is_start = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0))
+    rank = pos - run_start
     cell_ovf = jnp.any((sorted_key < spec.n_cells) & (rank >= M))
     ok = (sorted_key < spec.n_cells) & (rank < M)
     slot = sorted_key * M + jnp.minimum(rank, M - 1)

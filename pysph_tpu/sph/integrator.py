@@ -33,6 +33,11 @@ class Integrator(object):
         self.parallel_manager = None
         self.post_stage_callback = None
         self.fixed_h = False
+        # Bin particles once per step and reuse the layout for every
+        # evaluation within the step (the GridSpec's cell_slack makes
+        # this safe under CFL-limited motion).  Set True to rebuild per
+        # evaluation like the reference.
+        self.bin_every_eval = False
         self._states = None
         self._lists = {}
         self._diag = None
@@ -120,7 +125,8 @@ class Integrator(object):
         a_eval = self.acceleration_evals[index]
         if update_nnps and self.parallel_manager is not None:
             self._states = self.parallel_manager.update(self._states)
-        if update_nnps or index not in self._lists:
+        if (update_nnps and self.bin_every_eval) or \
+                index not in self._lists:
             handle, diag = a_eval.prepare(self._states)
             self._lists[index] = handle
             self._merge_diag(diag)
