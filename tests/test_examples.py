@@ -1,0 +1,38 @@
+"""Example smoke tests: run every example for a couple of steps
+(the analog of reference examples/tests/test_examples.py)."""
+
+import importlib
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+EXAMPLES = [
+    ('pysph_tpu.examples.elliptical_drop', 'EllipticalDrop',
+     ['--nx', '20']),
+    ('pysph_tpu.examples.taylor_green', 'TaylorGreen', ['--nx', '20']),
+    ('pysph_tpu.examples.dam_break_2d', 'DamBreak2D', ['--dx', '0.08']),
+]
+
+
+@pytest.mark.parametrize('module,cls,extra', EXAMPLES)
+def test_example_runs(module, cls, extra):
+    mod = importlib.import_module(module)
+    app_cls = getattr(mod, cls)
+    tmpdir = tempfile.mkdtemp()
+    argv = ['--max-steps', '2', '-d', tmpdir, '-q',
+            '--disable-output'] + extra
+    old_argv = sys.argv
+    try:
+        sys.argv = [module]
+        app = app_cls()
+        app.run(argv)
+        for pa in app.particles:
+            assert np.all(np.isfinite(pa.x))
+            assert np.all(np.isfinite(pa.u))
+        assert app.solver.count == 2
+    finally:
+        sys.argv = old_argv
+        shutil.rmtree(tmpdir, ignore_errors=True)
