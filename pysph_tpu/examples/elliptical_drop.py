@@ -14,6 +14,7 @@ from pysph_tpu.base.kernels import Gaussian
 from pysph_tpu.base.utils import get_particle_array
 from pysph_tpu.solver.application import Application
 from pysph_tpu.sph.integrator import EPECIntegrator
+from pysph_tpu.sph.iisph import IISPHScheme
 from pysph_tpu.sph.scheme import SchemeChooser, WCSPHScheme
 
 
@@ -60,18 +61,24 @@ class EllipticalDrop(Application):
             ['fluid'], [], dim=2, rho0=self.ro, c0=self.co,
             h0=self.dx * self.hdx, hdx=self.hdx, gamma=7.0, alpha=0.1,
             beta=0.0)
-        return SchemeChooser(default='wcsph', wcsph=wcsph)
+        iisph = IISPHScheme(['fluid'], [], dim=2, rho0=self.ro)
+        return SchemeChooser(default='wcsph', wcsph=wcsph, iisph=iisph)
 
     def configure_scheme(self):
         scheme = self.scheme
         kernel = Gaussian(dim=2)
         tf = 0.0076
         dt = 0.25 * self.hdx * self.dx / (141 + self.co)
-        scheme.configure(h0=self.hdx * self.dx)
-        scheme.configure_solver(
-            kernel=kernel, integrator_cls=EPECIntegrator, dt=dt, tf=tf,
-            adaptive_timestep=True, cfl=0.3, n_damp=50,
-            output_at_times=[0.0008, 0.0038])
+        if self.options.scheme == 'iisph':
+            dt = 2e-4
+            scheme.configure_solver(
+                kernel=kernel, dt=dt, tf=tf, adaptive_timestep=True)
+        else:
+            scheme.configure(h0=self.hdx * self.dx)
+            scheme.configure_solver(
+                kernel=kernel, integrator_cls=EPECIntegrator, dt=dt,
+                tf=tf, adaptive_timestep=True, cfl=0.3, n_damp=50,
+                output_at_times=[0.0008, 0.0038])
 
     def create_particles(self):
         """Circular patch of particles with the initial strain field."""

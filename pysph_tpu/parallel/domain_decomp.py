@@ -420,7 +420,7 @@ class DistributedRunner(object):
                 s['n_act'] = s['n_act'][0]
                 local[name] = s
             integrator.parallel_manager = exchange
-            new_states, diag = integrator.step(local, t, dt)
+            new_states, diag, _carry = integrator.step(local, t, dt)
             if self.adaptive_timestep:
                 dt_next = integrator.compute_time_step(
                     new_states, dt, self.cfl)

@@ -123,14 +123,15 @@ class Solver(object):
     def _make_jits(self):
         integrator = self.integrator
 
-        def step(states, t, dt):
-            return integrator.step(states, t, dt)
+        def step(states, t, dt, carry):
+            return integrator.step(states, t, dt, carry)
 
         def adapt(states, dt):
             return integrator.compute_time_step(states, dt, self.cfl)
 
         self._step_fn = jax.jit(step)
         self._adapt_fn = jax.jit(adapt)
+        self._nnps_carry = None
 
     # ------------------------------------------------------------------
     # Callback / configuration API (reference solver.py:231-423)
@@ -211,13 +212,14 @@ class Solver(object):
         self._epsilon = EPSILON * self.tf
 
         self.dump_output()
-        states, diag = self.integrator.initial_acceleration(
+        states, diag, carry = self.integrator.initial_acceleration(
             self.states, self.t, self.dt)
         if self._check_overflow(diag):
             self._handle_overflow(diag)
-            states, diag = self.integrator.initial_acceleration(
+            states, diag, carry = self.integrator.initial_acceleration(
                 self.states, self.t, self.dt)
         self.states = states
+        self._nnps_carry = carry
         self.dt = self._get_timestep()
 
         while ((self.tf - self.t) > self._epsilon and
@@ -226,14 +228,16 @@ class Solver(object):
                 callback(self)
 
             pre_states = self.states
-            new_states, diag = self._step_fn(self.states, self.t, self.dt)
+            new_states, diag, carry = self._step_fn(
+                self.states, self.t, self.dt, self._nnps_carry)
             if self._check_overflow(diag):
                 # grow capacities, re-jit, and redo the step from the
                 # saved pre-step state so no neighbors are dropped.
                 self._handle_overflow(diag)
-                new_states, diag = self._step_fn(pre_states, self.t,
-                                                 self.dt)
+                new_states, diag, carry = self._step_fn(
+                    pre_states, self.t, self.dt, self._nnps_carry)
             self.states = new_states
+            self._nnps_carry = carry
 
             for callback in self.post_step_callbacks:
                 callback(self)
@@ -266,6 +270,8 @@ class Solver(object):
                     spec.dims, spec.cell_capacity)
         self.nnps = spec
         self.integrator.set_nnps(spec)
+        # old binning has the wrong static sizes now
+        self._nnps_carry = None
         self._make_jits()
 
     # -- timestep helpers (reference solver.py:647-700) ----------------

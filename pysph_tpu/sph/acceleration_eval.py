@@ -119,12 +119,29 @@ class SlotStore(object):
         return self.flat
 
 
-class GridHandle(NamedTuple):
-    """One evaluation's binning: spec + per-array layouts + geometry."""
-    spec: GridSpec
-    origin: jnp.ndarray
-    widths: jnp.ndarray
-    layouts: dict
+class GridHandle(object):
+    """One evaluation's binning: spec + per-array layouts + geometry.
+
+    ``ref_pos`` snapshots positions at binning time so the handle can be
+    reused across steps Verlet-list style: it stays valid while no
+    particle has moved more than the slack margin.  Registered as a
+    pytree (spec is static aux data) so it can be carried through jitted
+    steps and ``lax.scan``."""
+
+    __slots__ = ('spec', 'origin', 'widths', 'layouts', 'ref_pos')
+
+    def __init__(self, spec, origin, widths, layouts, ref_pos):
+        self.spec = spec
+        self.origin = origin
+        self.widths = widths
+        self.layouts = layouts
+        self.ref_pos = ref_pos
+
+
+jax.tree_util.register_pytree_node(
+    GridHandle,
+    lambda h: ((h.origin, h.widths, h.layouts, h.ref_pos), h.spec),
+    lambda spec, children: GridHandle(spec, *children))
 
 
 # ---------------------------------------------------------------------------
@@ -573,16 +590,61 @@ class AccelerationEval(object):
         sub = {n: states[n] for n in self.arrays_used}
         origin, widths, _cell = spec.geometry(sub)
         layouts = {}
+        ref_pos = {}
         cell_ovf = jnp.asarray(False)
         ext_ovf = jnp.asarray(False)
         for name in self.arrays_used:
             lay = build_layout(spec, states[name], origin, widths)
             layouts[name] = lay
+            s = states[name]
+            ref_pos[name] = jnp.stack([s['x'], s['y'], s['z']])
             cell_ovf = cell_ovf | lay.cell_overflow
             ext_ovf = ext_ovf | lay.extent_overflow
         diag = {'cell_overflow': cell_ovf, 'extent_overflow': ext_ovf}
         return GridHandle(spec=spec, origin=origin, widths=widths,
-                          layouts=layouts), diag
+                          layouts=layouts, ref_pos=ref_pos), diag
+
+    def prepare_reuse(self, states, handle):
+        """Verlet-list reuse: keep ``handle`` if every particle has moved
+        less than half the slack margin since binning, else rebuild.
+
+        Safe because two particles can each consume half the margin
+        moving toward each other; the slack guarantees the stencil still
+        covers the true support."""
+        spec = self.grid_spec
+        fdt = next(iter(states.values()))['x'].dtype
+        hmax = jnp.zeros((), dtype=fdt)
+        disp2 = jnp.zeros((), dtype=fdt)
+        for name in self.arrays_used:
+            s = states[name]
+            cap = s['x'].shape[0]
+            act = jnp.arange(cap, dtype=jnp.int32) < s['n_act']
+            hmax = jnp.maximum(hmax, jnp.max(jnp.where(act, s['h'], 0.0)))
+            ref = handle.ref_pos[name]
+            d2 = ((s['x'] - ref[0]) ** 2 + (s['y'] - ref[1]) ** 2 +
+                  (s['z'] - ref[2]) ** 2)
+            # periodic wrap can jump coordinates by a box length; those
+            # particles look displaced but their minimum image is not.
+            if self.domain is not None and self.domain.is_periodic:
+                dx, dy, dz = self.domain.minimum_image(
+                    s['x'] - ref[0], s['y'] - ref[1], s['z'] - ref[2])
+                d2 = dx * dx + dy * dy + dz * dz
+            disp2 = jnp.maximum(disp2, jnp.max(jnp.where(act, d2, 0.0)))
+        margin = 0.5 * (spec.cell_slack - 1.0) * spec.radius_scale * hmax
+        # also rebuild if h grew so much the old cells are too small
+        cell_now = spec.cell_slack * spec.radius_scale * hmax
+        stale = (disp2 > margin * margin) | \
+            (cell_now > jnp.min(handle.widths[:spec.dim]) * 1.0001)
+
+        def rebuild(_):
+            return self.prepare(states)
+
+        def keep(_):
+            diag = {'cell_overflow': jnp.asarray(False),
+                    'extent_overflow': jnp.asarray(False)}
+            return handle, diag
+
+        return jax.lax.cond(stale, rebuild, keep, None)
 
     # -- execution -----------------------------------------------------
     def update_and_compute(self, t, dt, states):

@@ -78,30 +78,47 @@ class Integrator(object):
         return {'cell_overflow': jnp.asarray(False),
                 'extent_overflow': jnp.asarray(False)}
 
-    def step(self, states, t, dt):
-        """Advance one timestep.  Returns (new_states, diag)."""
+    def step(self, states, t, dt, nnps_carry=None):
+        """Advance one timestep.
+
+        Returns (new_states, diag, nnps_carry): thread ``nnps_carry``
+        through successive steps to reuse the particle binning
+        Verlet-list style (rebinned automatically once any particle has
+        moved beyond the slack margin).  Pass None to force a rebuild.
+        """
         self._states = dict(states)
         self._t = t
         self._dt = dt
         self._lists = {}
+        # distributed exchanges reshuffle particle order每 step; binning
+        # cannot be reused across steps there.
+        self._carry_in = None if self.parallel_manager is not None else \
+            nnps_carry
+        self._carry_out = dict(self._carry_in or {})
         self._diag = self._fresh_diag()
         self.one_timestep(t, dt)
         states, diag = self._states, self._diag
+        carry = self._carry_out if self.parallel_manager is None else None
         self._states = None
         self._lists = {}
-        return states, diag
+        return states, diag, carry
 
     def initial_acceleration(self, states, t, dt):
-        """Initial force evaluation (reference integrator.py:289)."""
+        """Initial force evaluation (reference integrator.py:289).
+
+        Returns (states, diag, nnps_carry)."""
         self._states = dict(states)
         self._t = t
         self._dt = dt
         self._lists = {}
+        self._carry_in = None
+        self._carry_out = {}
         self._diag = self._fresh_diag()
         self.compute_accelerations(0, update_nnps=True)
         states, diag = self._states, self._diag
+        carry = self._carry_out
         self._states = None
-        return states, diag
+        return states, diag, carry
 
     # ------------------------------------------------------------------
     # one_timestep building blocks
@@ -127,8 +144,13 @@ class Integrator(object):
             self._states = self.parallel_manager.update(self._states)
         if (update_nnps and self.bin_every_eval) or \
                 index not in self._lists:
-            handle, diag = a_eval.prepare(self._states)
+            if self._carry_in is not None and index in self._carry_in:
+                handle, diag = a_eval.prepare_reuse(
+                    self._states, self._carry_in[index])
+            else:
+                handle, diag = a_eval.prepare(self._states)
             self._lists[index] = handle
+            self._carry_out[index] = handle
             self._merge_diag(diag)
         self._states = a_eval.compute(self._t, self._dt, self._states,
                                       self._lists[index])

@@ -59,17 +59,17 @@ def _integrate(integrator_cls, stepper, equation_cls, tf, dt):
     integrator.set_nnps(GridSpec.from_particles(
         [pa], dim=1, radius_scale=2.0))
     states = {'fluid': pa.to_device()[0]}
-    states, _ = integrator.initial_acceleration(states, 0.0, dt)
+    states, _, carry = integrator.initial_acceleration(states, 0.0, dt)
 
     @jax.jit
-    def step(states, t, dt):
-        s, _ = integrator.step(states, t, dt)
-        return s
+    def step(states, t, dt, carry):
+        s, _, carry = integrator.step(states, t, dt, carry)
+        return s, carry
 
     t = 0.0
     n = int(round(tf / dt))
     for i in range(n):
-        states = step(states, t, dt)
+        states, carry = step(states, t, dt, carry)
         t += dt
     return float(states['fluid']['x'][0]), t
 

@@ -62,6 +62,7 @@ def _run_serial(pa, n_steps, dt):
     states = {'fluid': pa.to_device()[0]}
     t = 0.0
     step = jax.jit(lambda s, t, dt: integ.step(s, t, dt)[0])
+
     for i in range(n_steps):
         states = step(states, t, dt)
         t += dt
