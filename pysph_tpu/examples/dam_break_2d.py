@@ -10,7 +10,9 @@ import numpy as np
 from pysph_tpu.base.kernels import WendlandQuintic
 from pysph_tpu.base.utils import get_particle_array
 from pysph_tpu.solver.application import Application
+from pysph_tpu.sph.iisph import IISPHScheme
 from pysph_tpu.sph.scheme import SchemeChooser, WCSPHScheme
+from pysph_tpu.sph.wc.edac import EDACScheme
 from pysph_tpu.tools.geometry import get_2d_block, get_2d_tank
 
 fluid_column_height = 2.0
@@ -45,17 +47,35 @@ class DamBreak2D(Application):
             ['fluid'], ['boundary'], dim=2, rho0=ro, c0=co, h0=None,
             hdx=hdx, gy=-g, alpha=alpha, beta=beta, gamma=gamma,
             hg_correction=True)
-        return SchemeChooser(default='wcsph', wcsph=wcsph)
+        edac = EDACScheme(
+            fluids=['fluid'], solids=['boundary'], dim=2, c0=co,
+            nu=nu, rho0=ro, h=hdx * 0.03, pb=0.0, gy=-g, eps=0.0,
+            clamp_p=True)
+        iisph = IISPHScheme(
+            fluids=['fluid'], solids=['boundary'], dim=2, nu=nu,
+            rho0=ro, gy=-g)
+        return SchemeChooser(default='wcsph', wcsph=wcsph, edac=edac,
+                             iisph=iisph)
 
     def configure_scheme(self):
+        from pysph_tpu.base.kernels import QuinticSpline
         from pysph_tpu.sph.integrator import PECIntegrator
         dt = 0.125 * self.h / co
-        self.scheme.configure(h0=self.h, hdx=self.hdx)
-        kernel = WendlandQuintic(dim=2)
-        self.scheme.configure_solver(
-            integrator_cls=PECIntegrator, kernel=kernel,
-            adaptive_timestep=True, n_damp=50, fixed_h=False, dt=dt,
-            tf=2.5, output_at_times=[0.4, 0.6, 0.8, 1.0])
+        kw = dict(tf=2.5, output_at_times=[0.4, 0.6, 0.8, 1.0])
+        if self.options.scheme == 'wcsph':
+            self.scheme.configure(h0=self.h, hdx=self.hdx)
+            self.scheme.configure_solver(
+                integrator_cls=PECIntegrator,
+                kernel=WendlandQuintic(dim=2), adaptive_timestep=True,
+                n_damp=50, fixed_h=False, dt=dt, **kw)
+        elif self.options.scheme == 'edac':
+            self.scheme.configure(h=self.h)
+            self.scheme.configure_solver(
+                kernel=QuinticSpline(dim=2), dt=dt, **kw)
+        elif self.options.scheme == 'iisph':
+            self.scheme.configure_solver(
+                kernel=QuinticSpline(dim=2), dt=10 * dt,
+                adaptive_timestep=True, **kw)
 
     def create_particles(self):
         dx = self.dx

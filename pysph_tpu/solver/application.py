@@ -115,7 +115,8 @@ class Application(object):
 
         scheme = self.scheme
         if scheme is not None:
-            group = parser.add_argument_group('Scheme options')
+            group = parser.add_argument_group(
+                'Scheme options', conflict_handler='resolve')
             scheme.add_user_options(group)
         user = parser.add_argument_group('Application options')
         self.add_user_options(user)
