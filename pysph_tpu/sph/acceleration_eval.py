@@ -706,8 +706,14 @@ class AccelerationEval(object):
 
         def body(carry):
             s, it, _ = carry
-            s = self._run_group_functional(group, t, dt, s, handle)
-            conv = self._group_converged(group, s, handle)
+            if group.update_nnps:
+                # e.g. the grad-h density iteration changes h every
+                # sweep; re-bin inside the loop body.
+                h, _diag = self.prepare(s)
+            else:
+                h = handle
+            s = self._run_group_functional(group, t, dt, s, h)
+            conv = self._group_converged(group, s, h)
             return (s, it + 1, conv)
 
         def cond(carry):

@@ -319,3 +319,117 @@ class PEFRLStep(IntegratorStep):
                    d_arho, d_e, d_ae, (1.0 - 2.0 * _PEFRL_LAMBDA) / 2.0, dt)
         self._drift(d_idx, d_x, d_y, d_z, d_u, d_v, d_w,
                     d_ax, d_ay, d_az, _PEFRL_XI, dt)
+
+
+class GasDFluidStep(IntegratorStep):
+    """Predictor-corrector for gas dynamics with grad-h bookkeeping
+    (reference integrator_step.py:351)."""
+
+    def initialize(self, d_idx, d_x0, d_y0, d_z0, d_x, d_y, d_z, d_h,
+                   d_u0, d_v0, d_w0, d_u, d_v, d_w, d_e, d_e0, d_h0,
+                   d_converged, d_omega, d_rho, d_rho0, d_alpha1,
+                   d_alpha2, d_alpha10, d_alpha20):
+        d_x0[d_idx] = d_x[d_idx]
+        d_y0[d_idx] = d_y[d_idx]
+        d_z0[d_idx] = d_z[d_idx]
+        d_u0[d_idx] = d_u[d_idx]
+        d_v0[d_idx] = d_v[d_idx]
+        d_w0[d_idx] = d_w[d_idx]
+        d_e0[d_idx] = d_e[d_idx]
+        d_h0[d_idx] = d_h[d_idx]
+        d_rho0[d_idx] = d_rho[d_idx]
+        d_converged[d_idx] = 0.0
+        d_omega[d_idx] = 1.0
+        d_alpha10[d_idx] = d_alpha1[d_idx]
+        d_alpha20[d_idx] = d_alpha2[d_idx]
+
+    def stage1(self, d_idx, d_x0, d_y0, d_z0, d_x, d_y, d_z,
+               d_u0, d_v0, d_w0, d_u, d_v, d_w, d_e0, d_e, d_au, d_av,
+               d_aw, d_ae, d_rho, d_rho0, d_arho, d_h, d_h0, d_ah,
+               d_alpha1, d_aalpha1, d_alpha10,
+               d_alpha2, d_aalpha2, d_alpha20, dt):
+        dtb2 = 0.5 * dt
+        d_u[d_idx] = d_u0[d_idx] + dtb2 * d_au[d_idx]
+        d_v[d_idx] = d_v0[d_idx] + dtb2 * d_av[d_idx]
+        d_w[d_idx] = d_w0[d_idx] + dtb2 * d_aw[d_idx]
+        d_x[d_idx] = d_x0[d_idx] + dtb2 * d_u[d_idx]
+        d_y[d_idx] = d_y0[d_idx] + dtb2 * d_v[d_idx]
+        d_z[d_idx] = d_z0[d_idx] + dtb2 * d_w[d_idx]
+        d_e[d_idx] = d_e0[d_idx] + dtb2 * d_ae[d_idx]
+        d_h[d_idx] = d_h0[d_idx] + dtb2 * d_ah[d_idx]
+        d_rho[d_idx] = d_rho0[d_idx] + dtb2 * d_arho[d_idx]
+        d_alpha1[d_idx] = d_alpha10[d_idx] + dtb2 * d_aalpha1[d_idx]
+        d_alpha2[d_idx] = d_alpha20[d_idx] + dtb2 * d_aalpha2[d_idx]
+
+    def stage2(self, d_idx, d_x0, d_y0, d_z0, d_x, d_y, d_z,
+               d_u0, d_v0, d_w0, d_u, d_v, d_w, d_e0, d_e, d_au, d_av,
+               d_alpha1, d_aalpha1, d_alpha10,
+               d_alpha2, d_aalpha2, d_alpha20, d_aw, d_ae, dt):
+        d_u[d_idx] = d_u0[d_idx] + dt * d_au[d_idx]
+        d_v[d_idx] = d_v0[d_idx] + dt * d_av[d_idx]
+        d_w[d_idx] = d_w0[d_idx] + dt * d_aw[d_idx]
+        d_x[d_idx] = d_x0[d_idx] + dt * d_u[d_idx]
+        d_y[d_idx] = d_y0[d_idx] + dt * d_v[d_idx]
+        d_z[d_idx] = d_z0[d_idx] + dt * d_w[d_idx]
+        d_e[d_idx] = d_e0[d_idx] + dt * d_ae[d_idx]
+        d_alpha1[d_idx] = d_alpha10[d_idx] + dt * d_aalpha1[d_idx]
+        d_alpha2[d_idx] = d_alpha20[d_idx] + dt * d_aalpha2[d_idx]
+
+
+class GSPHStep(IntegratorStep):
+    """Godunov SPH step (reference integrator_step.py:431)."""
+
+    def stage1(self, d_idx, d_x, d_y, d_z, d_u, d_v, d_w, d_e,
+               d_au, d_av, d_aw, d_ae, dt):
+        dtb2 = dt * 0.5
+        ustar = d_u[d_idx] + dtb2 * d_au[d_idx]
+        vstar = d_v[d_idx] + dtb2 * d_av[d_idx]
+        wstar = d_w[d_idx] + dtb2 * d_aw[d_idx]
+        d_u[d_idx] += dt * d_au[d_idx]
+        d_v[d_idx] += dt * d_av[d_idx]
+        d_w[d_idx] += dt * d_aw[d_idx]
+        d_e[d_idx] += dt * (d_ae[d_idx] - ustar * d_au[d_idx] -
+                            vstar * d_av[d_idx] - wstar * d_aw[d_idx])
+        d_x[d_idx] += dt * ustar
+        d_y[d_idx] += dt * vstar
+        d_z[d_idx] += dt * wstar
+
+
+class ADKEStep(IntegratorStep):
+    """Predictor-corrector for the ADKE gas-dynamics scheme
+    (reference integrator_step.py:452)."""
+
+    def initialize(self, d_idx, d_x0, d_y0, d_z0, d_x, d_y, d_z,
+                   d_u0, d_v0, d_w0, d_u, d_v, d_w, d_e, d_e0,
+                   d_rho, d_rho0):
+        d_x0[d_idx] = d_x[d_idx]
+        d_y0[d_idx] = d_y[d_idx]
+        d_z0[d_idx] = d_z[d_idx]
+        d_u0[d_idx] = d_u[d_idx]
+        d_v0[d_idx] = d_v[d_idx]
+        d_w0[d_idx] = d_w[d_idx]
+        d_e0[d_idx] = d_e[d_idx]
+        d_rho0[d_idx] = d_rho[d_idx]
+
+    def stage1(self, d_idx, d_x0, d_y0, d_z0, d_x, d_y, d_z,
+               d_u0, d_v0, d_w0, d_u, d_v, d_w, d_e0, d_e, d_au, d_av,
+               d_aw, d_ae, d_rho, d_rho0, d_arho, dt):
+        dtb2 = 0.5 * dt
+        d_u[d_idx] = d_u0[d_idx] + dtb2 * d_au[d_idx]
+        d_v[d_idx] = d_v0[d_idx] + dtb2 * d_av[d_idx]
+        d_w[d_idx] = d_w0[d_idx] + dtb2 * d_aw[d_idx]
+        d_x[d_idx] = d_x0[d_idx] + dtb2 * d_u[d_idx]
+        d_y[d_idx] = d_y0[d_idx] + dtb2 * d_v[d_idx]
+        d_z[d_idx] = d_z0[d_idx] + dtb2 * d_w[d_idx]
+        d_e[d_idx] = d_e0[d_idx] + dtb2 * d_ae[d_idx]
+
+    def stage2(self, d_idx, d_x0, d_y0, d_z0, d_x, d_y, d_z,
+               d_u0, d_v0, d_w0, d_u, d_v, d_w, d_e0, d_e, d_au, d_av,
+               d_aw, d_ae, dt):
+        d_u[d_idx] = d_u0[d_idx] + dt * d_au[d_idx]
+        d_v[d_idx] = d_v0[d_idx] + dt * d_av[d_idx]
+        d_w[d_idx] = d_w0[d_idx] + dt * d_aw[d_idx]
+        d_x[d_idx] = d_x0[d_idx] + dt * d_u[d_idx]
+        d_y[d_idx] = d_y0[d_idx] + dt * d_v[d_idx]
+        d_z[d_idx] = d_z0[d_idx] + dt * d_w[d_idx]
+        d_e[d_idx] = d_e0[d_idx] + dt * d_ae[d_idx]

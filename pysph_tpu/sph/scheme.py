@@ -458,3 +458,294 @@ class WCSPHScheme(Scheme):
             if pa.name in self.solids:
                 if 'lb_weight' not in pa.constants:
                     pa.add_constant('lb_weight', 0.1)
+
+
+class GasDScheme(Scheme):
+    """Compressible gas dynamics with grad-h (MPM) or GSPH-style
+    adaptive smoothing lengths (reference scheme.py:884)."""
+
+    def __init__(self, fluids, solids, dim, gamma, kernel_factor,
+                 alpha1=1.0, alpha2=0.1, beta=2.0,
+                 adaptive_h_scheme='mpm', update_alpha1=False,
+                 update_alpha2=False, max_density_iterations=250,
+                 density_iteration_tolerance=1e-3, has_ghosts=False):
+        self.fluids = fluids
+        self.solids = solids
+        self.dim = dim
+        self.solver = None
+        self.gamma = gamma
+        self.alpha1 = alpha1
+        self.alpha2 = alpha2
+        self.update_alpha1 = update_alpha1
+        self.update_alpha2 = update_alpha2
+        self.beta = beta
+        self.kernel_factor = kernel_factor
+        self.adaptive_h_scheme = adaptive_h_scheme
+        self.density_iteration_tolerance = density_iteration_tolerance
+        self.max_density_iterations = max_density_iterations
+        self.has_ghosts = has_ghosts
+
+    def add_user_options(self, group):
+        group.add_argument(
+            '--adaptive-h', action='store', dest='adaptive_h_scheme',
+            default=None, choices=['gsph', 'mpm'],
+            help='Adaptive smoothing length scheme.')
+        group.add_argument('--alpha1', action='store', type=float,
+                           dest='alpha1', default=None,
+                           help='Artificial viscosity alpha1.')
+        group.add_argument('--beta', action='store', type=float,
+                           dest='beta', default=None,
+                           help='Artificial viscosity beta.')
+        group.add_argument('--alpha2', action='store', type=float,
+                           dest='alpha2', default=None,
+                           help='Artificial viscosity alpha2.')
+        group.add_argument('--gamma', action='store', type=float,
+                           dest='gamma', default=None,
+                           help='EOS gamma.')
+        add_bool_argument(group, 'update-alpha1', dest='update_alpha1',
+                          help='Update alpha1 dynamically.',
+                          default=None)
+        add_bool_argument(group, 'update-alpha2', dest='update_alpha2',
+                          help='Update alpha2 dynamically.',
+                          default=None)
+
+    def consume_user_options(self, options):
+        data = dict((var, self._smart_getattr(options, var)) for var in
+                    ('gamma', 'alpha2', 'alpha1', 'beta',
+                     'update_alpha1', 'update_alpha2',
+                     'adaptive_h_scheme'))
+        self.configure(**data)
+
+    def configure_solver(self, kernel=None, integrator_cls=None,
+                         extra_steppers=None, **kw):
+        from pysph_tpu.base.kernels import Gaussian
+        from pysph_tpu.sph.integrator import PECIntegrator
+        from pysph_tpu.sph.integrator_step import GasDFluidStep
+        from pysph_tpu.solver.solver import Solver
+        if kernel is None:
+            kernel = Gaussian(dim=self.dim)
+        steppers = {}
+        if extra_steppers is not None:
+            steppers.update(extra_steppers)
+        cls = integrator_cls if integrator_cls is not None else \
+            PECIntegrator
+        for name in self.fluids:
+            if name not in steppers:
+                steppers[name] = GasDFluidStep()
+        integrator = cls(**steppers)
+        self.solver = Solver(dim=self.dim, integrator=integrator,
+                             kernel=kernel, **kw)
+
+    def get_equations(self):
+        from pysph_tpu.sph.equation import Group
+        from pysph_tpu.sph.gas_dynamics.basic import (
+            IdealGasEOS, MPMAccelerations, MPMUpdateGhostProps,
+            ScaleSmoothingLength, SummationDensity,
+            UpdateSmoothingLengthFromVolume)
+        from pysph_tpu.sph.gas_dynamics.boundary_equations import (
+            WallBoundary)
+
+        equations = []
+        if self.adaptive_h_scheme == 'mpm':
+            g1 = [SummationDensity(
+                dest=fluid, sources=self.fluids, k=self.kernel_factor,
+                density_iterations=True, dim=self.dim,
+                htol=self.density_iteration_tolerance)
+                for fluid in self.fluids]
+            equations.append(Group(
+                equations=g1, update_nnps=True, iterate=True,
+                max_iterations=self.max_density_iterations))
+        elif self.adaptive_h_scheme == 'gsph':
+            equations.append(Group(equations=[
+                ScaleSmoothingLength(dest=f, sources=None, factor=2.0)
+                for f in self.fluids], update_nnps=True))
+            equations.append(Group(equations=[
+                SummationDensity(dest=f, sources=self.fluids,
+                                 dim=self.dim)
+                for f in self.fluids], update_nnps=False))
+            equations.append(Group(equations=[
+                UpdateSmoothingLengthFromVolume(
+                    dest=f, sources=None, k=self.kernel_factor,
+                    dim=self.dim)
+                for f in self.fluids], update_nnps=True))
+            equations.append(Group(equations=[
+                SummationDensity(dest=f, sources=self.fluids,
+                                 dim=self.dim)
+                for f in self.fluids], update_nnps=False))
+
+        equations.append(Group(equations=[
+            IdealGasEOS(dest=f, sources=None, gamma=self.gamma)
+            for f in self.fluids]))
+        if self.solids:
+            equations.append(Group(equations=[
+                WallBoundary(solid, sources=self.fluids)
+                for solid in self.solids]))
+        if self.has_ghosts:
+            equations.append(Group(equations=[
+                MPMUpdateGhostProps(dest=f, sources=None)
+                for f in self.fluids], real=False))
+        equations.append(Group(equations=[
+            MPMAccelerations(
+                dest=f, sources=self.fluids + self.solids,
+                alpha1_min=self.alpha1, alpha2_min=self.alpha2,
+                beta=self.beta, update_alpha1=self.update_alpha1,
+                update_alpha2=self.update_alpha2)
+            for f in self.fluids]))
+        return equations
+
+    def setup_properties(self, particles, clean=True):
+        import numpy
+        from pysph_tpu.base.utils import get_particle_array_gasd
+        particle_arrays = dict((p.name, p) for p in particles)
+        dummy = get_particle_array_gasd(name='junk')
+        props = list(dummy.properties.keys())
+        output_props = dummy.output_property_arrays
+        for fluid in self.fluids:
+            pa = particle_arrays[fluid]
+            self._ensure_properties(pa, props, clean)
+            pa.add_property('orig_idx', type='int')
+            pa.orig_idx = numpy.arange(pa.get_number_of_particles())
+            pa.set_output_arrays(output_props)
+        solid_props = set(props) | set('div cs wij htmp'.split(' '))
+        for solid in self.solids:
+            pa = particle_arrays[solid]
+            self._ensure_properties(pa, solid_props, clean)
+            pa.set_output_arrays(output_props)
+
+
+class ADKEScheme(Scheme):
+    """ADKE gas dynamics (reference scheme.py:1461)."""
+
+    def __init__(self, fluids, solids, dim, gamma=1.4, alpha=1.0,
+                 beta=2.0, k=1.0, eps=0.0, g1=0.0, g2=0.0,
+                 has_ghosts=False):
+        self.fluids = fluids
+        self.solids = solids
+        self.dim = dim
+        self.solver = None
+        self.gamma = gamma
+        self.alpha = alpha
+        self.beta = beta
+        self.k = k
+        self.eps = eps
+        self.g1 = g1
+        self.g2 = g2
+        self.has_ghosts = has_ghosts
+
+    def add_user_options(self, group):
+        group.add_argument('--alpha', action='store', type=float,
+                           dest='alpha', default=None,
+                           help='Artificial viscosity alpha.')
+        group.add_argument('--beta', action='store', type=float,
+                           dest='beta', default=None,
+                           help='Artificial viscosity beta.')
+        group.add_argument('--gamma', action='store', type=float,
+                           dest='gamma', default=None,
+                           help='EOS gamma.')
+        group.add_argument('--g1', action='store', type=float,
+                           dest='g1', default=None,
+                           help='ADKE artificial heat g1.')
+        group.add_argument('--g2', action='store', type=float,
+                           dest='g2', default=None,
+                           help='ADKE artificial heat g2.')
+        group.add_argument('--adke-k', action='store', type=float,
+                           dest='k', default=None,
+                           help='ADKE kernel scaling k.')
+        group.add_argument('--adke-eps', action='store', type=float,
+                           dest='eps', default=None,
+                           help='ADKE sensitivity eps.')
+
+    def consume_user_options(self, options):
+        data = dict((var, self._smart_getattr(options, var)) for var in
+                    ('gamma', 'alpha', 'beta', 'g1', 'g2', 'k', 'eps'))
+        self.configure(**data)
+
+    def get_equations(self):
+        from pysph_tpu.sph.basic_equations import SummationDensity
+        from pysph_tpu.sph.equation import Group
+        from pysph_tpu.sph.gas_dynamics.basic import (
+            ADKEAccelerations, ADKEUpdateGhostProps, IdealGasEOS,
+            SummationDensityADKE)
+        from pysph_tpu.sph.gas_dynamics.boundary_equations import (
+            WallBoundary)
+
+        equations = []
+        if self.solids:
+            equations.append(Group(equations=[
+                WallBoundary(s, sources=self.fluids)
+                for s in self.solids]))
+        equations.append(Group([
+            SummationDensityADKE(
+                f, sources=self.fluids + self.solids, k=self.k,
+                eps=self.eps) for f in self.fluids],
+            update_nnps=False, iterate=False))
+        if self.solids:
+            equations.append(Group(equations=[
+                WallBoundary(s, sources=self.fluids)
+                for s in self.solids]))
+        equations.append(Group([
+            SummationDensity(f, self.fluids + self.solids)
+            for f in self.fluids], update_nnps=True))
+        if self.solids:
+            equations.append(Group(equations=[
+                WallBoundary(s, sources=self.fluids)
+                for s in self.solids]))
+        equations.append(Group(equations=[
+            IdealGasEOS(e, sources=None, gamma=self.gamma)
+            for e in self.fluids + self.solids]))
+        if self.has_ghosts:
+            equations.append(Group(equations=[
+                ADKEUpdateGhostProps(dest=f, sources=None)
+                for f in self.fluids], real=False))
+        equations.append(Group(equations=[
+            ADKEAccelerations(
+                dest=f, sources=self.fluids + self.solids,
+                alpha=self.alpha, beta=self.beta, g1=self.g1,
+                g2=self.g2, k=self.k, eps=self.eps)
+            for f in self.fluids]))
+        return equations
+
+    def configure_solver(self, kernel=None, integrator_cls=None,
+                         extra_steppers=None, **kw):
+        from pysph_tpu.base.kernels import Gaussian
+        from pysph_tpu.sph.integrator import PECIntegrator
+        from pysph_tpu.sph.integrator_step import ADKEStep
+        from pysph_tpu.solver.solver import Solver
+        if kernel is None:
+            kernel = Gaussian(dim=self.dim)
+        steppers = {}
+        if extra_steppers is not None:
+            steppers.update(extra_steppers)
+        cls = integrator_cls if integrator_cls is not None else \
+            PECIntegrator
+        for name in self.fluids:
+            if name not in steppers:
+                steppers[name] = ADKEStep()
+        integrator = cls(**steppers)
+        self.solver = Solver(dim=self.dim, integrator=integrator,
+                             kernel=kernel, **kw)
+
+    def setup_properties(self, particles, clean=True):
+        import numpy
+        from pysph_tpu.base.utils import get_particle_array
+        particle_arrays = dict((p.name, p) for p in particles)
+        required_props = [
+            'x', 'y', 'z', 'u', 'v', 'w', 'rho', 'h', 'm', 'cs', 'p',
+            'e', 'au', 'av', 'aw', 'arho', 'ae', 'am', 'ah', 'x0',
+            'y0', 'z0', 'u0', 'v0', 'w0', 'rho0', 'e0', 'h0', 'div',
+            'wij', 'htmp', 'logrho']
+        dummy = get_particle_array(additional_props=required_props,
+                                   name='junk')
+        dummy.set_output_arrays(
+            ['x', 'y', 'u', 'v', 'rho', 'm', 'h', 'cs', 'p', 'e',
+             'au', 'av', 'ae', 'pid', 'gid', 'tag'])
+        props = list(dummy.properties.keys())
+        output_props = dummy.output_property_arrays
+        for name in self.solids + self.fluids:
+            pa = particle_arrays[name]
+            self._ensure_properties(pa, props, clean)
+            if name in self.fluids:
+                pa.add_property('orig_idx', type='int')
+                pa.orig_idx = numpy.arange(
+                    pa.get_number_of_particles())
+            pa.set_output_arrays(output_props)

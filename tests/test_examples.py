@@ -14,6 +14,14 @@ EXAMPLES = [
      ['--nx', '20']),
     ('pysph_tpu.examples.taylor_green', 'TaylorGreen', ['--nx', '20']),
     ('pysph_tpu.examples.dam_break_2d', 'DamBreak2D', ['--dx', '0.08']),
+    ('pysph_tpu.examples.dam_break_2d', 'DamBreak2D',
+     ['--dx', '0.08', '--scheme', 'edac']),
+    ('pysph_tpu.examples.dam_break_2d', 'DamBreak2D',
+     ['--dx', '0.08', '--scheme', 'iisph']),
+    ('pysph_tpu.examples.shocktube', 'ShockTube',
+     ['--nl', '100', '--scheme', 'mpm']),
+    ('pysph_tpu.examples.shocktube', 'ShockTube',
+     ['--nl', '100', '--scheme', 'adke']),
 ]
 
 
