@@ -303,6 +303,25 @@ class StencilView(object):
     def stencil(self, slot_arr):
         return self._roll_grid(slot_arr)[:, None, :]
 
+    def unstencil(self, per_src):
+        """Inverse of the stencil map for accumulations into the source.
+
+        ``per_src`` is (n_cells, S*M): per-candidate contributions already
+        reduced over dest slots.  Each offset block is rolled back (+o)
+        and summed, yielding a (n_slots,) accumulation with no scatter."""
+        spec = self.spec
+        M = spec.cell_capacity
+        acc = None
+        for k, off in enumerate(spec.offsets):
+            block = per_src[:, k * M:(k + 1) * M].reshape(
+                spec.dims + (M,))
+            for ax, o in enumerate(off):
+                if o != 0:
+                    block = jnp.roll(block, o, axis=ax)
+            block = block.reshape(spec.n_slots)
+            acc = block if acc is None else acc + block
+        return acc
+
     def _offset_cell_valid(self):
         """(n_cells, S) validity of each stencil offset per cell (guards
         the roll wraparound on non-periodic axes)."""

@@ -216,7 +216,14 @@ class GridPairDest(object):
 
 
 class GridPairSrc(object):
-    """Source-array view in the pair phase: stencil reads (C, 1, S*M)."""
+    """Source-array view in the pair phase: stencil reads (C, 1, S*M).
+
+    A few reference equations also *accumulate into the source*
+    (``s_fx[s_idx] += ...``, e.g. the Akinci rigid-fluid coupling,
+    reference rigid_body.py:280-413).  On TPU this is scatter-free: the
+    pair block is reduced over the dest-slot axis per stencil offset and
+    rolled *back* onto the source grid (the stencil map is a translation,
+    so its inverse is the opposite roll)."""
 
     __slots__ = ('store', 'name', 'stride', 'ctx')
 
@@ -237,8 +244,28 @@ class GridPairSrc(object):
                                 self.stride)
 
     def __setitem__(self, key, value):
-        raise ValueError('equations may only write d_* arrays at d_idx '
-                         '(attempted write to source %r)' % self.name)
+        if not isinstance(key, IndexSym):
+            self.store[self.name] = self.store[self.name].at[key].set(
+                value)
+            return
+        if self.stride != 1:
+            raise NotImplementedError(
+                'source accumulation on strided %r' % self.name)
+        ctx = self.ctx
+        cur = self.ctx.sgather(self.store, self.name, key.off,
+                               self.stride)
+        v = jnp.asarray(value)
+        if not (v.ndim == 3 and v.shape[2] == ctx.pair_mask.shape[2]):
+            raise ValueError(
+                'source writes must accumulate per pair (s_%s[s_idx] '
+                '+= expr); got shape %s' % (self.name, v.shape))
+        delta = jnp.where(ctx.pair_mask, v - cur, 0.0)
+        # (C, M_dest, S*M_src) -> sum dest slots -> (C, S*M_src)
+        per_src = jnp.sum(delta, axis=1)
+        acc = ctx.stencil.unstencil(per_src)
+        self.store[self.name] = self.store[self.name] + acc
+        # invalidate the cached gather of this property
+        ctx.invalidate_sgather(self.name)
 
 
 class GridPairContext(object):
@@ -279,6 +306,10 @@ class GridPairContext(object):
             col = arr if stride == 1 else arr[:, off]
             self._sgather[ck] = self.stencil.stencil(col)
         return self._sgather[ck]
+
+    def invalidate_sgather(self, prop):
+        for ck in [k for k in self._sgather if k[0] == prop]:
+            del self._sgather[ck]
 
     def sget(self, prop):
         return self.sgather(self.src_store, prop)

@@ -311,3 +311,43 @@ def test_strided_property_pair_access():
     # leftmost particle sees only right neighbors: xij < 0 and dwdq < 0
     # give a positive x-component.
     assert grad[0, 0] > 0
+
+
+class SourceAccumEquation(Equation):
+    """Writes into the source (reverse-stencil accumulation path)."""
+    def initialize(self, d_idx, d_u):
+        d_u[d_idx] = 0.0
+
+    def loop(self, d_idx, s_idx, d_u, s_p, s_m):
+        d_u[d_idx] += s_m[s_idx]
+        s_p[s_idx] += 1.0
+
+
+def test_source_accumulation_counts_pairs():
+    pa = _line_array(10)
+    pa.p = np.zeros(10)
+    a_eval, states = _setup([pa], [SourceAccumEquation('fluid',
+                                                       ['fluid'])])
+    states = _compute(a_eval, states)
+    # each pair increments the source once: source counts == dest counts
+    p = np.asarray(states['fluid']['p'])[:10]
+    u = np.asarray(states['fluid']['u'])[:10]
+    np.testing.assert_allclose(p, [3, 4, 5, 5, 5, 5, 5, 5, 4, 3])
+    np.testing.assert_allclose(u, p)
+
+
+def test_source_accumulation_two_arrays():
+    d = _line_array(6, name='fluid')
+    s = _line_array(6, name='wall')
+    s.x = s.x + 0.5
+    a_eval, states = _setup([d, s], [SourceAccumEquation('fluid',
+                                                         ['wall'])])
+    states = _compute(a_eval, states)
+    p = np.asarray(states['wall']['p'])[:6]
+    # wall j at x=j+0.5 is neighbor of fluid i iff |i - j - 0.5| < 2.4
+    expected = np.zeros(6)
+    for j in range(6):
+        for i in range(6):
+            if abs(i - j - 0.5) < 2.4:
+                expected[j] += 1
+    np.testing.assert_allclose(p, expected)
