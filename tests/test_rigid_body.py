@@ -76,19 +76,27 @@ def test_free_fall_two_bodies():
 
 
 def test_rigid_rotation_preserved():
+    # omega is body state (like the reference): set it and verify the
+    # free spin is preserved and particle velocities follow omega x r.
     omega = 2.0
-    pa = _make_body(omega_z=omega)
+    pa = _make_body()
+    pa.constants['omega'][:] = [0.0, 0.0, omega]
     integ = _setup(pa)
     states = {'body': pa.to_device()[0]}
     dt = 1e-4
     states, _, carry = integ.initial_acceleration(states, 0.0, dt)
     pa.update_from_device(states['body'])
-    np.testing.assert_allclose(float(pa.omega[2]), omega, rtol=1e-6)
+    cm = np.asarray(pa.constants['cm'])
+    np.testing.assert_allclose(
+        pa.u, -omega * (pa.y - cm[1]), atol=1e-10)
+    np.testing.assert_allclose(
+        pa.v, omega * (pa.x - cm[0]), atol=1e-10)
     step = jax.jit(lambda s, t, c: integ.step(s, t, dt, c))
     t = 0.0
     for i in range(10):
         states, _, carry = step(states, t, carry)
         t += dt
     pa.update_from_device(states['body'])
-    # symmetric body spinning freely: omega stays constant
+    # symmetric body spinning freely under gravity: omega is constant
     np.testing.assert_allclose(float(pa.omega[2]), omega, rtol=1e-5)
+    np.testing.assert_allclose(float(pa.omega[0]), 0.0, atol=1e-8)
