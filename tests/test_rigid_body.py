@@ -16,11 +16,14 @@ from pysph_tpu.sph.rigid_body import (
 
 def _setup(pa):
     kernel = CubicSpline(dim=2)
-    eqs = [Group(equations=[
-        BodyForce('body', None, gy=-9.81),
-        RigidBodyMoments('body', None),
-        RigidBodyMotion('body', None),
-    ])]
+    # Moments (a reduce) must complete before Motion's initialize reads
+    # cm/vc, so they go in separate groups (as the reference examples
+    # do, e.g. examples/rigid_body/).
+    eqs = [
+        Group(equations=[BodyForce('body', None, gy=-9.81)]),
+        Group(equations=[RigidBodyMoments('body', None)]),
+        Group(equations=[RigidBodyMotion('body', None)]),
+    ]
     a_eval = AccelerationEval([pa], eqs, kernel)
     integ = EPECIntegrator(body=RK2StepRigidBody())
     integ.set_acceleration_evals([a_eval])
