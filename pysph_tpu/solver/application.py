@@ -22,6 +22,7 @@ import numpy as np
 
 from pysph_tpu import config as tpu_config
 from pysph_tpu.base.cell_grid import GridSpec
+from pysph_tpu.solver.tools import Tool
 from pysph_tpu.solver.utils import mkdir
 
 logger = logging.getLogger(__name__)
@@ -324,6 +325,13 @@ class Application(object):
             solver.add_post_stage_callback(self.post_stage)
 
         self.tools = list(self.create_tools())
+        for tool in self.tools:
+            if type(tool).pre_step is not Tool.pre_step:
+                solver.add_pre_step_callback(tool.pre_step)
+            if type(tool).post_step is not Tool.post_step:
+                solver.add_post_step_callback(tool.post_step)
+            if type(tool).post_stage is not Tool.post_stage:
+                solver.add_post_stage_callback(tool.post_stage)
         self.customize_output()
         self._setup_time = time.time() - start
 

@@ -83,3 +83,48 @@ def test_interpolator_sph_method():
     pa.p = 2.0 * pa.x + 3.0 * pa.y
     p = interp.interpolate('p')
     np.testing.assert_allclose(p, [2.5], rtol=5e-2)
+
+
+def test_density_correction_equations():
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.density_correction import (
+        MLSFirstOrder2D, ShepardFilter)
+    pa = _fluid_block()
+    pa.add_property('rhotmp')
+    pa.rho = 1.0 + 0.01 * np.random.RandomState(3).randn(
+        pa.get_number_of_particles())
+    for cls in (ShepardFilter, MLSFirstOrder2D):
+        ev = SPHEvaluator(
+            [pa], [Group(equations=[cls('fluid', ['fluid'])],
+                         real=False)],
+            dim=2, kernel=CubicSpline(dim=2))
+        ev.evaluate()
+        interior = pa.rho[(pa.x > 0.2) & (pa.x < 0.8) &
+                          (pa.y > 0.2) & (pa.y < 0.8)]
+        np.testing.assert_allclose(interior, 1.0, rtol=3e-2)
+        assert np.all(np.isfinite(pa.rho))
+
+
+def test_shift_equations_run():
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.shift import (CorrectVelocities, FickianShift,
+                                        SimpleShift)
+    pa = _fluid_block()
+    pa.add_constant('vmax', [0.0])
+    pa.add_property('dpos', stride=3)
+    pa.add_property('gradv', stride=9)
+    x0 = pa.x.copy()
+    ev = SPHEvaluator(
+        [pa], [Group(equations=[SimpleShift('fluid', ['fluid'])],
+                     update_nnps=True),
+               Group(equations=[CorrectVelocities('fluid', ['fluid'])])],
+        dim=2, kernel=CubicSpline(dim=2))
+    ev.evaluate(dt=1e-3)
+    assert np.all(np.isfinite(pa.x))
+    pa2 = _fluid_block()
+    pa2.add_property('dpos', stride=3)
+    ev2 = SPHEvaluator(
+        [pa2], [Group(equations=[FickianShift('fluid', ['fluid'])])],
+        dim=2, kernel=CubicSpline(dim=2))
+    ev2.evaluate(dt=1e-3)
+    assert np.all(np.isfinite(pa2.x))
