@@ -13,6 +13,7 @@ from pysph_tpu.solver.application import Application
 from pysph_tpu.sph.iisph import IISPHScheme
 from pysph_tpu.sph.scheme import SchemeChooser, WCSPHScheme
 from pysph_tpu.sph.wc.edac import EDACScheme
+from pysph_tpu.sph.wc.gtvf import GTVFScheme
 from pysph_tpu.tools.geometry import get_2d_block, get_2d_tank
 
 fluid_column_height = 2.0
@@ -54,8 +55,11 @@ class DamBreak2D(Application):
         iisph = IISPHScheme(
             fluids=['fluid'], solids=['boundary'], dim=2, nu=nu,
             rho0=ro, gy=-g)
+        gtvf = GTVFScheme(
+            fluids=['fluid'], solids=['boundary'], dim=2, nu=nu,
+            rho0=ro, gy=-g, h0=None, c0=co, pref=None)
         return SchemeChooser(default='wcsph', wcsph=wcsph, edac=edac,
-                             iisph=iisph)
+                             iisph=iisph, gtvf=gtvf)
 
     def configure_scheme(self):
         from pysph_tpu.base.kernels import QuinticSpline
@@ -76,6 +80,9 @@ class DamBreak2D(Application):
             self.scheme.configure_solver(
                 kernel=QuinticSpline(dim=2), dt=10 * dt,
                 adaptive_timestep=True, **kw)
+        elif self.options.scheme == 'gtvf':
+            self.scheme.configure(pref=ro * co * co / gamma, h0=self.h)
+            self.scheme.configure_solver(dt=dt, **kw)
 
     def create_particles(self):
         dx = self.dx
