@@ -22,10 +22,15 @@ class SPHEvaluator(object):
 
     def evaluate(self, t=0.0, dt=0.1):
         """Evaluate the equations and write results back to the arrays."""
+        import jax
+        if not hasattr(self, '_jit_eval') or self._jit_eval is None:
+            self._jit_eval = jax.jit(
+                lambda t, dt, s: self.func_eval.update_and_compute(
+                    t, dt, s))
         states = {}
         for pa in self.arrays:
             states[pa.name], _ = pa.to_device()
-        states, diag = self.func_eval.update_and_compute(t, dt, states)
+        states, diag = self._jit_eval(t, dt, states)
         if bool(diag['cell_overflow']) or bool(diag['extent_overflow']):
             self._create_nnps(self.arrays, grow=True)
             states = {}
@@ -54,3 +59,4 @@ class SPHEvaluator(object):
             spec = spec.grow(cells=True, extent=True)
         self.nnps = spec
         self.func_eval.set_nnps(spec)
+        self._jit_eval = None
