@@ -8,7 +8,8 @@ import numpy as np
 
 from pysph_tpu.base.utils import get_particle_array_gasd
 from pysph_tpu.solver.application import Application
-from pysph_tpu.sph.scheme import ADKEScheme, GasDScheme, SchemeChooser
+from pysph_tpu.sph.scheme import (ADKEScheme, GasDScheme, GSPHScheme,
+                                  SchemeChooser)
 
 
 class ShockTube(Application):
@@ -35,7 +36,13 @@ class ShockTube(Application):
         adke = ADKEScheme(
             fluids=['fluid'], solids=[], dim=1, gamma=self.gamma,
             alpha=1.0, beta=1.0, k=0.3, eps=0.5, g1=0.2, g2=0.4)
-        return SchemeChooser(default='mpm', mpm=mpm, adke=adke)
+        gsph = GSPHScheme(
+            fluids=['fluid'], solids=[], dim=1, gamma=self.gamma,
+            kernel_factor=1.0, g1=0.25, g2=0.5, rsolver=2,
+            interpolation=1, monotonicity=1, interface_zero=True,
+            hybrid=False, blend_alpha=2.0, niter=20, tol=1e-6)
+        return SchemeChooser(default='mpm', mpm=mpm, adke=adke,
+                             gsph=gsph)
 
     def configure_scheme(self):
         dt = 1e-4

@@ -129,8 +129,12 @@ class Solver(object):
         def adapt(states, dt):
             return integrator.compute_time_step(states, dt, self.cfl)
 
+        def init_accel(states, t, dt):
+            return integrator.initial_acceleration(states, t, dt)
+
         self._step_fn = jax.jit(step)
         self._adapt_fn = jax.jit(adapt)
+        self._init_accel_fn = jax.jit(init_accel)
         self._nnps_carry = None
 
     # ------------------------------------------------------------------
@@ -212,11 +216,11 @@ class Solver(object):
         self._epsilon = EPSILON * self.tf
 
         self.dump_output()
-        states, diag, carry = self.integrator.initial_acceleration(
+        states, diag, carry = self._init_accel_fn(
             self.states, self.t, self.dt)
         if self._check_overflow(diag):
             self._handle_overflow(diag)
-            states, diag, carry = self.integrator.initial_acceleration(
+            states, diag, carry = self._init_accel_fn(
                 self.states, self.t, self.dt)
         self.states = states
         self._nnps_carry = carry

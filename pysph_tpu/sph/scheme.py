@@ -613,6 +613,187 @@ class GasDScheme(Scheme):
             pa.set_output_arrays(output_props)
 
 
+class GSPHScheme(Scheme):
+    """Godunov SPH scheme (reference scheme.py:1144)."""
+
+    def __init__(self, fluids, solids, dim, gamma, kernel_factor,
+                 g1=0.0, g2=0.0, rsolver=2, interpolation=1,
+                 monotonicity=1, interface_zero=True, hybrid=False,
+                 blend_alpha=5.0, tf=1.0, niter=20, tol=1e-6,
+                 has_ghosts=False):
+        self.fluids = fluids
+        self.solids = solids
+        self.dim = dim
+        self.solver = None
+        self.gamma = gamma
+        self.kernel_factor = kernel_factor
+        self.g1 = g1
+        self.g2 = g2
+        self.rsolver = rsolver
+        self.interpolation = interpolation
+        self.monotonicity = monotonicity
+        self.interface_zero = interface_zero
+        self.hybrid = hybrid
+        self.blend_alpha = blend_alpha
+        self.tf = tf
+        self.niter = niter
+        self.tol = tol
+        self.has_ghosts = has_ghosts
+        self.rsolver_choices = {
+            'non_diffusive': 0, 'van_leer': 1, 'exact': 2, 'hllc': 3,
+            'ducowicz': 4, 'hlle': 5, 'roe': 6, 'llxf': 7,
+            'hllc_ball': 8, 'hll_ball': 9, 'hllsy': 10}
+        self.interpolation_choices = {'delta': 0, 'linear': 1,
+                                      'cubic': 2}
+        self.monotonicity_choices = {'first_order': 0, 'i02': 1,
+                                     'iwin': 2}
+
+    def add_user_options(self, group):
+        group.add_argument(
+            '--rsolver', action='store', type=str, dest='rsolver',
+            default=None, choices=set(self.rsolver_choices),
+            help='Riemann solver to use.')
+        group.add_argument(
+            '--interpolation', action='store', type=str,
+            dest='interpolation', default=None,
+            choices=set(self.interpolation_choices),
+            help='Interpolation algorithm to use.')
+        group.add_argument(
+            '--monotonicity', action='store', type=str,
+            dest='monotonicity', default=None,
+            choices=set(self.monotonicity_choices),
+            help='Monotonicity algorithm to use.')
+        group.add_argument('--g1', action='store', type=float,
+                           dest='g1', default=None,
+                           help='Thermal conduction parameter.')
+        group.add_argument('--g2', action='store', type=float,
+                           dest='g2', default=None,
+                           help='Thermal conduction parameter.')
+        group.add_argument('--gamma', action='store', type=float,
+                           dest='gamma', default=None,
+                           help='Gamma for the state equation.')
+        group.add_argument('--blend-alpha', action='store', type=float,
+                           dest='blend_alpha', default=None,
+                           help='Blending factor for hybrid scheme.')
+        add_bool_argument(
+            group, 'interface-zero', dest='interface_zero',
+            help='Set interface position to zero for Riemann problem.',
+            default=None)
+        add_bool_argument(group, 'hybrid', dest='hybrid',
+                          help='Use the hybrid scheme.', default=None)
+
+    def consume_user_options(self, options):
+        data = dict((var, self._smart_getattr(options, var)) for var in
+                    ('gamma', 'g1', 'g2', 'interface_zero', 'hybrid',
+                     'blend_alpha'))
+        for var in ('monotonicity', 'rsolver', 'interpolation'):
+            res = getattr(options, var, None)
+            data[var] = (getattr(self, var) if res is None else
+                         getattr(self, var + '_choices')[res])
+        self.configure(**data)
+
+    def configure_solver(self, kernel=None, integrator_cls=None,
+                         extra_steppers=None, **kw):
+        from pysph_tpu.base.kernels import Gaussian
+        from pysph_tpu.sph.integrator import EulerIntegrator
+        from pysph_tpu.sph.integrator_step import GSPHStep
+        from pysph_tpu.solver.solver import Solver
+        if kernel is None:
+            kernel = Gaussian(dim=self.dim)
+        steppers = {}
+        if extra_steppers is not None:
+            steppers.update(extra_steppers)
+        cls = integrator_cls if integrator_cls is not None else \
+            EulerIntegrator
+        for name in self.fluids:
+            if name not in steppers:
+                steppers[name] = GSPHStep()
+        integrator = cls(**steppers)
+        self.solver = Solver(dim=self.dim, integrator=integrator,
+                             kernel=kernel, **kw)
+        if 'tf' in kw:
+            self.tf = kw['tf']
+
+    def get_equations(self):
+        from pysph_tpu.sph.equation import Group
+        from pysph_tpu.sph.gas_dynamics.basic import (
+            IdealGasEOS, ScaleSmoothingLength, SummationDensity,
+            UpdateSmoothingLengthFromVolume)
+        from pysph_tpu.sph.gas_dynamics.boundary_equations import (
+            WallBoundary)
+        from pysph_tpu.sph.gas_dynamics.gsph import (
+            GSPHAcceleration, GSPHGradients, GSPHUpdateGhostProps)
+
+        all_pa = self.fluids + self.solids
+        equations = []
+        equations.append(Group(equations=[
+            ScaleSmoothingLength(dest=f, sources=None, factor=2.0)
+            for f in self.fluids], update_nnps=True))
+        if self.solids:
+            equations.append(Group(equations=[
+                WallBoundary(s, sources=self.fluids)
+                for s in self.solids]))
+        equations.append(Group(equations=[
+            SummationDensity(dest=f, sources=all_pa, dim=self.dim)
+            for f in self.fluids], update_nnps=False))
+        if self.solids:
+            equations.append(Group(equations=[
+                WallBoundary(s, sources=self.fluids)
+                for s in self.solids]))
+        equations.append(Group(equations=[
+            UpdateSmoothingLengthFromVolume(
+                dest=f, sources=None, k=self.kernel_factor,
+                dim=self.dim)
+            for f in self.fluids], update_nnps=True))
+        equations.append(Group(equations=[
+            SummationDensity(dest=f, sources=all_pa, dim=self.dim)
+            for f in self.fluids], update_nnps=False))
+        equations.append(Group(equations=[
+            IdealGasEOS(dest=f, sources=None, gamma=self.gamma)
+            for f in self.fluids]))
+        if self.solids:
+            equations.append(Group(equations=[
+                WallBoundary(s, sources=self.fluids)
+                for s in self.solids]))
+        equations.append(Group(equations=[
+            GSPHGradients(dest=f, sources=all_pa)
+            for f in self.fluids]))
+        if self.has_ghosts:
+            equations.append(Group(equations=[
+                GSPHUpdateGhostProps(dest=f, sources=None)
+                for f in self.fluids], update_nnps=False, real=False))
+        equations.append(Group(equations=[
+            GSPHAcceleration(
+                dest=f, sources=all_pa, g1=self.g1, g2=self.g2,
+                monotonicity=self.monotonicity, rsolver=self.rsolver,
+                interpolation=self.interpolation,
+                interface_zero=self.interface_zero, hybrid=self.hybrid,
+                blend_alpha=self.blend_alpha, gamma=self.gamma,
+                niter=self.niter, tol=self.tol)
+            for f in self.fluids]))
+        return equations
+
+    def setup_properties(self, particles, clean=True):
+        import numpy
+        from pysph_tpu.base.utils import get_particle_array_gasd
+        particle_arrays = dict((p.name, p) for p in particles)
+        dummy = get_particle_array_gasd(name='junk')
+        props = (list(dummy.properties.keys()) +
+                 'px py pz ux uy uz vx vy vz wx wy wz'.split())
+        output_props = dummy.output_property_arrays
+        for fluid in self.fluids:
+            pa = particle_arrays[fluid]
+            self._ensure_properties(pa, props, clean)
+            pa.add_property('orig_idx', type='int')
+            pa.orig_idx = numpy.arange(pa.get_number_of_particles())
+            pa.set_output_arrays(output_props)
+        solid_props = set(props) | set(('wij', 'htmp'))
+        for solid in self.solids:
+            pa = particle_arrays[solid]
+            self._ensure_properties(pa, solid_props, clean)
+            pa.set_output_arrays(output_props)
+
+
 class ADKEScheme(Scheme):
     """ADKE gas dynamics (reference scheme.py:1461)."""
 
