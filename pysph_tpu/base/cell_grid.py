@@ -58,7 +58,7 @@ class GridSpec(object):
     """
 
     def __init__(self, dim, radius_scale, dims, cell_capacity,
-                 domain=None, cell_slack=1.1):
+                 domain=None, cell_slack=1.1, capacities=None):
         self.dim = int(dim)
         self.radius_scale = float(radius_scale)
         # Cells are slightly larger than the support radius so a binning
@@ -70,11 +70,19 @@ class GridSpec(object):
             dims = dims + (1,)
         self.dims = dims
         self.cell_capacity = int(cell_capacity)
+        # Per-array capacities: sparse arrays (thin walls, small
+        # obstacles) get a much smaller M than the bulk fluid, which
+        # shrinks every pair block they participate in.
+        self.capacities = {k: int(v)
+                           for k, v in (capacities or {}).items()}
         self.domain = domain
         self.n_cells = dims[0] * dims[1] * dims[2]
         self.n_slots = self.n_cells * self.cell_capacity
         self.offsets = _stencil_offsets(self.dim, self.dims,
                                         self.periodic)
+
+    def capacity_for(self, name):
+        return self.capacities.get(name, self.cell_capacity)
 
     @property
     def periodic(self):
@@ -84,8 +92,8 @@ class GridSpec(object):
 
     @classmethod
     def from_particles(cls, particle_arrays, dim, radius_scale,
-                       domain=None, cell_capacity=None, pad=0.25,
-                       capacity_slack=1.5):
+                       domain=None, cell_capacity=None, pad=0.03,
+                       capacity_slack=1.3):
         """Size the static grid from the initial particle distribution.
 
         ``pad`` adds headroom on non-periodic axes for domain growth;
@@ -122,23 +130,38 @@ class GridSpec(object):
                 extent = max(his[d] - los[d], cell)
                 dims.append(int(np.ceil(extent * (1 + 2 * pad) / cell))
                             + 3)
+        capacities = {}
         if cell_capacity is None:
-            # measure the worst initial cell occupancy
-            occ = 0
-            for xyz in coords:
-                cs = []
-                for d in range(3):
-                    if d >= dim:
-                        cs.append(np.zeros(xyz.shape[1], np.int64))
-                    else:
-                        ci = np.floor((xyz[d] - los[d]) / cell
-                                      ).astype(np.int64)
-                        cs.append(np.clip(ci, 0, dims[d] - 1))
-                flat = (cs[0] * dims[1] + cs[1]) * dims[2] + cs[2]
-                occ = max(occ, int(np.bincount(flat).max()))
-            cell_capacity = max(4, int(-(-int(occ * capacity_slack)
-                                         // 4) * 4))
-        return cls(dim, radius_scale, tuple(dims), cell_capacity, domain)
+            # Measure the worst initial cell occupancy per array.  The
+            # runtime grid origin is dynamic (it tracks the moving
+            # particle cloud, and each distributed block aligns to its
+            # own minimum), so sample several half-cell-shifted
+            # alignments and take the worst.
+            shifts = [np.zeros(3)]
+            for d in range(dim):
+                shifts += [s + 0.5 * cell * np.eye(3)[d]
+                           for s in list(shifts)]
+            names = [pa.name for pa in particle_arrays
+                     if pa.get_number_of_particles() > 0]
+            for name, xyz in zip(names, coords):
+                occ = 0
+                for shift in shifts:
+                    cs = []
+                    for d in range(3):
+                        if d >= dim:
+                            cs.append(np.zeros(xyz.shape[1], np.int64))
+                        else:
+                            ci = np.floor((xyz[d] - los[d] + shift[d])
+                                          / cell).astype(np.int64)
+                            cs.append(np.clip(ci, 0, dims[d] - 1))
+                    flat = ((cs[0] * dims[1] + cs[1]) * dims[2] +
+                            cs[2])
+                    occ = max(occ, int(np.bincount(flat).max()))
+                capacities[name] = max(4, int(-(-int(
+                    occ * capacity_slack) // 4) * 4))
+            cell_capacity = max(capacities.values())
+        return cls(dim, radius_scale, tuple(dims), cell_capacity,
+                   domain, capacities=capacities)
 
     def grow(self, cells=False, extent=False, factor=2):
         """Return a larger spec after an overflow."""
@@ -148,7 +171,10 @@ class GridSpec(object):
                          not self.periodic[i] else d
                          for i, d in enumerate(dims))
         M = self.cell_capacity * factor if cells else self.cell_capacity
-        return GridSpec(self.dim, self.radius_scale, dims, M, self.domain)
+        caps = {k: v * factor if cells else v
+                for k, v in self.capacities.items()}
+        return GridSpec(self.dim, self.radius_scale, dims, M,
+                        self.domain, capacities=caps)
 
     # ------------------------------------------------------------------
     def geometry(self, states):
@@ -196,11 +222,12 @@ class GridLayout(NamedTuple):
     extent_overflow: jnp.ndarray    # () bool — particle outside grid
 
 
-def build_layout(spec, state, origin, widths):
+def build_layout(spec, state, origin, widths, capacity=None):
     """Bin one particle state onto the grid.
 
     Sort-based slot assignment (one argsort of cell keys, like the
-    reference's bin+count, then rank-within-cell gives the slot)."""
+    reference's bin+count, then rank-within-cell gives the slot).
+    ``capacity`` overrides the spec default M (per-array capacity)."""
     cap = state['x'].shape[0]
     act = jnp.arange(cap, dtype=jnp.int32) < state['n_act']
     per = spec.periodic
@@ -220,7 +247,8 @@ def build_layout(spec, state, origin, widths):
         coords.append(ci)
     flat = (coords[0] * spec.dims[1] + coords[1]) * spec.dims[2] + \
         coords[2]
-    M = spec.cell_capacity
+    M = spec.cell_capacity if capacity is None else int(capacity)
+    n_slots = spec.n_cells * M
 
     key = jnp.where(act, flat, spec.n_cells)
     order = jnp.argsort(key).astype(jnp.int32)
@@ -239,12 +267,12 @@ def build_layout(spec, state, origin, widths):
     slot = sorted_key * M + jnp.minimum(rank, M - 1)
 
     # out-of-range scatter indices are dropped (mode='drop')
-    write_slot = jnp.where(ok, slot, spec.n_slots)
-    slot_to_particle = jnp.full(spec.n_slots, -1, jnp.int32).at[
+    write_slot = jnp.where(ok, slot, n_slots)
+    slot_to_particle = jnp.full(n_slots, -1, jnp.int32).at[
         write_slot].set(order, mode='drop')
     slot_mask = slot_to_particle >= 0
 
-    particle_to_slot = jnp.full(cap, spec.n_slots, jnp.int32).at[
+    particle_to_slot = jnp.full(cap, n_slots, jnp.int32).at[
         jnp.where(ok, order, cap)].set(slot, mode='drop')
     return GridLayout(slot_to_particle=slot_to_particle,
                       slot_mask=slot_mask,
@@ -288,16 +316,22 @@ class StencilView(object):
         self._mask = None
         self._cand_particles = None
 
+    @property
+    def M(self):
+        """This layout's per-cell capacity (shape-derived, static)."""
+        return self.layout.slot_to_particle.shape[0] // self.spec.n_cells
+
     def _roll_grid(self, slot_arr):
         spec = self.spec
-        g = slot_arr.reshape(spec.dims + (spec.cell_capacity,))
+        M = slot_arr.shape[0] // spec.n_cells
+        g = slot_arr.reshape(spec.dims + (M,))
         outs = []
         for off in spec.offsets:
             r = g
             for ax, o in enumerate(off):
                 if o != 0:
                     r = jnp.roll(r, -o, axis=ax)
-            outs.append(r.reshape(spec.n_cells, spec.cell_capacity))
+            outs.append(r.reshape(spec.n_cells, M))
         return jnp.concatenate(outs, axis=1)  # (n_cells, S*M)
 
     def stencil(self, slot_arr):
@@ -310,7 +344,7 @@ class StencilView(object):
         reduced over dest slots.  Each offset block is rolled back (+o)
         and summed, yielding a (n_slots,) accumulation with no scatter."""
         spec = self.spec
-        M = spec.cell_capacity
+        M = self.M
         acc = None
         for k, off in enumerate(spec.offsets):
             block = per_src[:, k * M:(k + 1) * M].reshape(
@@ -318,7 +352,7 @@ class StencilView(object):
             for ax, o in enumerate(off):
                 if o != 0:
                     block = jnp.roll(block, o, axis=ax)
-            block = block.reshape(spec.n_slots)
+            block = block.reshape(spec.n_cells * M)
             acc = block if acc is None else acc + block
         return acc
 
@@ -344,8 +378,7 @@ class StencilView(object):
     def mask(self):
         """(n_cells, 1, S*M) candidate validity."""
         if self._mask is None:
-            spec = self.spec
-            M = spec.cell_capacity
+            M = self.M
             sm = self._roll_grid(
                 self.layout.slot_mask.astype(jnp.int32)).astype(bool)
             cell_ok = self._offset_cell_valid()

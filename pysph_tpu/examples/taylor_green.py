@@ -15,6 +15,7 @@ from pysph_tpu.base.kernels import QuinticSpline
 from pysph_tpu.base.utils import get_particle_array
 from pysph_tpu.solver.application import Application
 from pysph_tpu.sph.scheme import SchemeChooser, TVFScheme
+from pysph_tpu.sph.wc.pcisph import PCISPHScheme
 
 L = 1.0
 U = 1.0
@@ -68,13 +69,18 @@ class TaylorGreen(Application):
         h0 = None
         tvf = TVFScheme(['fluid'], [], dim=2, rho0=rho0, c0=c0, nu=None,
                         p0=p0, pb=None, h0=h0)
-        return SchemeChooser(default='tvf', tvf=tvf)
+        pcisph = PCISPHScheme(['fluid'], dim=2, rho0=rho0, nu=None,
+                              tolerance=0.05)
+        return SchemeChooser(default='tvf', tvf=tvf, pcisph=pcisph)
 
     def configure_scheme(self):
         h0 = self.hdx * self.dx
         kernel = QuinticSpline(dim=2)
-        self.scheme.configure(pb=self.options.pb_factor * p0, nu=self.nu,
-                              h0=h0)
+        if self.options.scheme == 'tvf':
+            self.scheme.configure(pb=self.options.pb_factor * p0,
+                                  nu=self.nu, h0=h0)
+        else:
+            self.scheme.configure(nu=self.nu)
         self.scheme.configure_solver(kernel=kernel, tf=self.tf,
                                      dt=self.dt, pfreq=500)
 

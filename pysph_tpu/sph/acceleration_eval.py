@@ -286,7 +286,8 @@ class GridPairContext(object):
         self.radius_scale = radius_scale
         spec = stencil.spec
         self.C = spec.n_cells
-        self.M = spec.cell_capacity
+        self.M = (dest_store.layout.slot_to_particle.shape[0] //
+                  spec.n_cells)
         self.base_write_mask = base_write_mask  # (S,) slot-level
         self._sym = {}
         self._sgather = {}
@@ -625,7 +626,8 @@ class AccelerationEval(object):
         cell_ovf = jnp.asarray(False)
         ext_ovf = jnp.asarray(False)
         for name in self.arrays_used:
-            lay = build_layout(spec, states[name], origin, widths)
+            lay = build_layout(spec, states[name], origin, widths,
+                               capacity=spec.capacity_for(name))
             layouts[name] = lay
             s = states[name]
             ref_pos[name] = jnp.stack([s['x'], s['y'], s['z']])
