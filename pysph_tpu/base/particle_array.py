@@ -247,6 +247,38 @@ class ParticleArray(object):
             self.properties[name] = np.concatenate([arr, extra])
         self._device_state = None
 
+    def add_particles(self, align=True, **props):
+        """Append particles given per-property data arrays (reference
+        particle_array.pyx:1004)."""
+        num = 0
+        for name, data in props.items():
+            s = self.stride.get(name, 1)
+            num = max(num,
+                      np.atleast_1d(np.asarray(data)).size // s)
+        if num == 0:
+            return
+        old_n = self.get_number_of_particles()
+        self.extend(num)
+        for name, data in props.items():
+            if name not in self.properties:
+                continue
+            s = self.stride.get(name, 1)
+            arr = np.atleast_1d(np.asarray(data)).ravel()
+            self.properties[name][old_n * s:old_n * s + arr.size] = arr
+        self._update_num_real()
+        self._device_state = None
+
+    def get_property_arrays(self, all=True, only_real=False):
+        """Dict of property name -> numpy array (reference
+        particle_array.pyx:1475)."""
+        n = self.num_real_particles if only_real else \
+            self.get_number_of_particles()
+        out = {}
+        for name, arr in self.properties.items():
+            s = self.stride.get(name, 1)
+            out[name] = arr[:n * s]
+        return out
+
     def remove_particles(self, indices, align=True):
         indices = np.asarray(indices, dtype=np.int64)
         n = self.get_number_of_particles()

@@ -116,6 +116,8 @@ class Solver(object):
             self.states[pa.name] = state
 
     def _sync_to_host(self):
+        if self._blob is not None:
+            self.states = self._packed['sp_unpack'](self._blob)
         for pa in self.particles:
             pa.update_from_device(
                 jax.tree_util.tree_map(np.asarray, self.states[pa.name]))
@@ -136,6 +138,60 @@ class Solver(object):
         self._adapt_fn = jax.jit(adapt)
         self._init_accel_fn = jax.jit(init_accel)
         self._nnps_carry = None
+        self._packed = None
+        self._blob = None
+        self._cblob = None
+
+    # -- packed-transport mode -----------------------------------------
+    # Every jit OUTPUT buffer pays a fixed runtime dispatch cost (large
+    # through the remote TPU tunnel); a step returns O(100) property
+    # arrays.  In steady state the solver therefore carries the state
+    # as one flat blob per dtype across step calls and only unpacks at
+    # sync points (output dumps, callbacks, end of run).
+    def _build_packed(self, carry):
+        from pysph_tpu.utils.packing import make_packer
+        integ = self.integrator
+        sp_pack, sp_unpack = make_packer(self.states)
+        cp_pack, cp_unpack = make_packer(carry)
+        out_sd = jax.eval_shape(
+            lambda s, t, dt, c: integ.step(s, t, dt, c),
+            self.states, self.t, self.dt, carry)
+        dp_pack, dp_unpack = make_packer(out_sd[1])
+
+        def stepp(blob, t, dt, cblob):
+            s2, diag, c2 = integ.step(sp_unpack(blob), t, dt,
+                                      cp_unpack(cblob))
+            return sp_pack(s2), dp_pack(diag), cp_pack(c2)
+
+        def adaptp(blob, dt):
+            return integ.compute_time_step(sp_unpack(blob), dt,
+                                           self.cfl)
+
+        self._packed = {
+            'sp_pack': jax.jit(sp_pack),
+            'sp_unpack': jax.jit(sp_unpack),
+            'cp_pack': jax.jit(cp_pack),
+            'dp_unpack': dp_unpack,
+            'step': jax.jit(stepp),
+            'adapt': jax.jit(adaptp),
+        }
+
+    def _enter_packed(self, carry):
+        self._build_packed(carry)
+        self._blob = self._packed['sp_pack'](self.states)
+        self._cblob = self._packed['cp_pack'](carry)
+
+    def _exit_packed(self):
+        if self._blob is not None:
+            self.states = self._packed['sp_unpack'](self._blob)
+            self._blob = None
+            self._cblob = None
+
+    def _packed_eligible(self):
+        return (self._nnps_carry is not None and
+                not self.pre_step_callbacks and
+                not self.post_step_callbacks and
+                self.execute_commands is None)
 
     # ------------------------------------------------------------------
     # Callback / configuration API (reference solver.py:231-423)
@@ -226,22 +282,47 @@ class Solver(object):
         self._nnps_carry = carry
         self.dt = self._get_timestep()
 
+        if self._packed_eligible():
+            self._enter_packed(self._nnps_carry)
+
         while ((self.tf - self.t) > self._epsilon and
                self.count < self.max_steps):
             for callback in self.pre_step_callbacks:
                 callback(self)
 
-            pre_states = self.states
-            new_states, diag, carry = self._step_fn(
-                self.states, self.t, self.dt, self._nnps_carry)
-            if self._check_overflow(diag):
-                # grow capacities, re-jit, and redo the step from the
-                # saved pre-step state so no neighbors are dropped.
-                self._handle_overflow(diag)
+            if self._blob is not None:
+                pre_blob = self._blob
+                blob, dblob, cblob = self._packed['step'](
+                    self._blob, self.t, self.dt, self._cblob)
+                diag = self._packed['dp_unpack'](dblob)
+                if self._check_overflow(diag):
+                    # grow capacities, re-jit, and redo the step from
+                    # the saved pre-step state.
+                    self._blob = pre_blob
+                    self._exit_packed()
+                    pre_states = self.states
+                    self._handle_overflow(diag)
+                    new_states, diag, carry = self._step_fn(
+                        pre_states, self.t, self.dt, None)
+                    self.states = new_states
+                    self._nnps_carry = carry
+                    self._enter_packed(carry)
+                else:
+                    self._blob = blob
+                    self._cblob = cblob
+            else:
+                pre_states = self.states
                 new_states, diag, carry = self._step_fn(
-                    pre_states, self.t, self.dt, self._nnps_carry)
-            self.states = new_states
-            self._nnps_carry = carry
+                    self.states, self.t, self.dt, self._nnps_carry)
+                if self._check_overflow(diag):
+                    # grow capacities, re-jit, and redo the step from
+                    # the saved pre-step state so no neighbors are
+                    # dropped.
+                    self._handle_overflow(diag)
+                    new_states, diag, carry = self._step_fn(
+                        pre_states, self.t, self.dt, self._nnps_carry)
+                self.states = new_states
+                self._nnps_carry = carry
 
             for callback in self.post_step_callbacks:
                 callback(self)
@@ -257,6 +338,7 @@ class Solver(object):
                 if self.count % self.command_interval == 0:
                     self.execute_commands(self)
 
+        self._exit_packed()
         bar.finish()
         self.dump_output()
 
@@ -291,8 +373,12 @@ class Solver(object):
         undamped = self._get_undamped_timestep()
         if self.adaptive_timestep:
             import jax.numpy as jnp
-            dt = float(self._adapt_fn(
-                self.states, jnp.asarray(undamped)))
+            if self._blob is not None:
+                dt = float(self._packed['adapt'](
+                    self._blob, jnp.asarray(undamped)))
+            else:
+                dt = float(self._adapt_fn(
+                    self.states, jnp.asarray(undamped)))
             return dt
         return undamped
 

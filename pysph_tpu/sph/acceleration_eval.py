@@ -485,6 +485,13 @@ def _bind_particle_phase(method, store, schema, write_mask, t, dt,
             kwargs[arg] = dt
         elif arg == 'SPH_KERNEL':
             kwargs[arg] = kernel
+        elif arg == 'D_PIDX':
+            layout = getattr(store, 'layout', None)
+            if layout is None:
+                n = next(iter(store.values())).shape[0]
+                kwargs[arg] = jnp.arange(n, dtype=jnp.int32)
+            else:
+                kwargs[arg] = layout.slot_to_particle
         elif arg.startswith('d_'):
             prop = arg[2:]
             if prop not in views:

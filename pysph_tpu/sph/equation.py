@@ -164,10 +164,25 @@ class ArrayView(object):
             return self.arr
         return self.arr[:, key.off]
 
+    def _to_slot(self, key):
+        """Translate particle-space indices to this store's layout.
+
+        Cross-particle gathers in equations (``d_u[d_parent_idx[d_idx]]``,
+        merge partners, rigid-body roots) are written in the flat
+        particle index space; when the backing store is slot-ordered the
+        index must go through ``particle_to_slot``."""
+        layout = getattr(self.store, 'layout', None)
+        if layout is None or self.is_const or not hasattr(key, 'dtype'):
+            return key
+        p2s = layout.particle_to_slot
+        idx = jnp.clip(jnp.asarray(key).astype(jnp.int32), 0,
+                       p2s.shape[0] - 1)
+        return jnp.minimum(p2s[idx], self.arr.shape[0] - 1)
+
     def __getitem__(self, key):
         if isinstance(key, IndexSym):
             return self._column(key)
-        return self.arr[key]
+        return self.arr[self._to_slot(key)]
 
     def __setitem__(self, key, value):
         if isinstance(value, (_AccumMax, _AccumMin)):
@@ -188,7 +203,8 @@ class ArrayView(object):
                     new = jnp.where(self.write_mask, new, col)
                 self.store[self.name] = arr.at[:, key.off].set(new)
         else:
-            self.store[self.name] = self.arr.at[key].set(value)
+            self.store[self.name] = self.arr.at[
+                self._to_slot(key)].set(value)
 
 
 class PairDestView(object):

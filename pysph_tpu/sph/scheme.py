@@ -460,6 +460,132 @@ class WCSPHScheme(Scheme):
                     pa.add_constant('lb_weight', 0.1)
 
 
+
+class AdamiHuAdamsScheme(TVFScheme):
+    """Adami, Hu & Adams WCSPH with generalized wall BC
+    (reference scheme.py:710)."""
+
+    def __init__(self, fluids, solids, dim, rho0, c0, nu, h0,
+                 gx=0.0, gy=0.0, gz=0.0, p0=0.0, gamma=7.0,
+                 tdamp=0.0, alpha=0.0):
+        self.fluids = fluids
+        self.solids = solids
+        self.solver = None
+        self.rho0 = rho0
+        self.c0 = c0
+        self.h0 = h0
+        self.p0 = p0
+        self.nu = nu
+        self.dim = dim
+        self.gx = gx
+        self.gy = gy
+        self.gz = gz
+        self.alpha = alpha
+        self.gamma = float(gamma)
+        self.tdamp = tdamp
+        self.attributes_changed()
+
+    def add_user_options(self, group):
+        super(AdamiHuAdamsScheme, self).add_user_options(group)
+        group.add_argument('--gamma', action='store', type=float,
+                           dest='gamma', default=None,
+                           help='Gamma for the state equation.')
+
+    def attributes_changed(self):
+        self.B = self.c0 * self.c0 * self.rho0 / self.gamma
+
+    def consume_user_options(self, options):
+        data = dict((var, self._smart_getattr(options, var)) for var in
+                    ('alpha', 'tdamp', 'gamma'))
+        self.configure(**data)
+
+    def configure_solver(self, kernel=None, integrator_cls=None,
+                         extra_steppers=None, **kw):
+        from pysph_tpu.base.kernels import QuinticSpline
+        from pysph_tpu.sph.integrator import PECIntegrator
+        from pysph_tpu.sph.integrator_step import WCSPHStep
+        from pysph_tpu.solver.solver import Solver
+        if kernel is None:
+            kernel = QuinticSpline(dim=self.dim)
+        steppers = {}
+        if extra_steppers is not None:
+            steppers.update(extra_steppers)
+        for fluid in self.fluids:
+            if fluid not in steppers:
+                steppers[fluid] = WCSPHStep()
+        cls = integrator_cls if integrator_cls is not None else \
+            PECIntegrator
+        integrator = cls(**steppers)
+        self.solver = Solver(dim=self.dim, integrator=integrator,
+                             kernel=kernel, **kw)
+
+    def get_equations(self):
+        from pysph_tpu.sph.basic_equations import XSPHCorrection
+        from pysph_tpu.sph.equation import Group
+        from pysph_tpu.sph.wc.basic import TaitEOS
+        from pysph_tpu.sph.wc.transport_velocity import (
+            ContinuityEquation, ContinuitySolid,
+            MomentumEquationArtificialViscosity,
+            MomentumEquationPressureGradient,
+            MomentumEquationViscosity, SetWallVelocity,
+            SolidWallNoSlipBC, SolidWallPressureBC, VolumeSummation)
+
+        equations = []
+        all = self.fluids + self.solids
+        g2 = []
+        for fluid in self.fluids:
+            g2.append(VolumeSummation(dest=fluid, sources=all))
+            g2.append(TaitEOS(dest=fluid, sources=None, rho0=self.rho0,
+                              c0=self.c0, gamma=self.gamma,
+                              p0=self.p0))
+        for solid in self.solids:
+            g2.append(VolumeSummation(dest=solid, sources=all))
+            g2.append(SetWallVelocity(dest=solid,
+                                      sources=self.fluids))
+        equations.append(Group(equations=g2, real=False))
+
+        g3 = [SolidWallPressureBC(
+            dest=solid, sources=self.fluids, b=1.0, rho0=self.rho0,
+            p0=self.B, gx=self.gx, gy=self.gy, gz=self.gz)
+            for solid in self.solids]
+        equations.append(Group(equations=g3, real=False))
+
+        g4 = []
+        for fluid in self.fluids:
+            g4.append(ContinuityEquation(dest=fluid,
+                                         sources=self.fluids))
+            if self.solids:
+                g4.append(ContinuitySolid(dest=fluid,
+                                          sources=self.solids))
+            g4.append(MomentumEquationPressureGradient(
+                dest=fluid, sources=all, pb=0.0, gx=self.gx,
+                gy=self.gy, gz=self.gz, tdamp=self.tdamp))
+            if self.alpha > 0.0:
+                g4.append(MomentumEquationArtificialViscosity(
+                    dest=fluid, sources=all, c0=self.c0,
+                    alpha=self.alpha))
+            if self.nu > 0.0:
+                g4.append(MomentumEquationViscosity(
+                    dest=fluid, sources=self.fluids, nu=self.nu))
+                if self.solids:
+                    g4.append(SolidWallNoSlipBC(
+                        dest=fluid, sources=self.solids, nu=self.nu))
+            g4.append(XSPHCorrection(dest=fluid, sources=[fluid]))
+        equations.append(Group(equations=g4))
+        return equations
+
+    def setup_properties(self, particles, clean=True):
+        super(AdamiHuAdamsScheme, self).setup_properties(particles,
+                                                         clean)
+        particle_arrays = dict((p.name, p) for p in particles)
+        props = ['cs', 'arho', 'rho0', 'u0', 'v0', 'w0', 'x0', 'y0',
+                 'z0', 'ax', 'ay', 'az']
+        for fluid in self.fluids:
+            pa = particle_arrays[fluid]
+            for prop in props:
+                pa.add_property(prop)
+
+
 class GasDScheme(Scheme):
     """Compressible gas dynamics with grad-h (MPM) or GSPH-style
     adaptive smoothing lengths (reference scheme.py:884)."""
