@@ -349,27 +349,28 @@ class ParticleArray(object):
 
     def extract_particles(self, indices, dest_array=None, align=True,
                           props=None):
-        """Create (or fill) a particle array with the given particles."""
+        """Copy the given particles into ``dest_array`` (APPENDING, as
+        the reference does, particle_array.pyx:1237) or into a fresh
+        clone when no destination is given."""
         indices = np.asarray(indices, dtype=np.int64)
-        if dest_array is None:
-            dest_array = self.empty_clone(props=props)
         use = list(self.properties.keys()) if props is None else props
+        data = {}
         for name in use:
             s = self.stride.get(name, 1)
             src = self.properties[name]
             if s == 1:
-                data = src[indices]
+                data[name] = src[indices].copy()
             else:
-                data = src.reshape(-1, s)[indices].ravel()
-            if name in dest_array.properties:
-                dest_array.properties[name] = data
-            else:
-                dest_array.add_property(
-                    name, type=self._type.get(name, 'double'),
-                    default=self.default_values.get(name, 0),
-                    stride=s, data=data, _n=indices.size)
-        dest_array._update_num_real()
-        dest_array._device_state = None
+                data[name] = src.reshape(-1, s)[indices].ravel().copy()
+        if dest_array is None:
+            dest_array = self.empty_clone(props=props)
+        missing = [n for n in use if n not in dest_array.properties]
+        for name in missing:
+            dest_array.add_property(
+                name, type=self._type.get(name, 'double'),
+                default=self.default_values.get(name, 0),
+                stride=self.stride.get(name, 1))
+        dest_array.add_particles(**data)
         return dest_array
 
     def empty_clone(self, props=None):

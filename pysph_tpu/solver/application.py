@@ -264,6 +264,24 @@ class Application(object):
         if self.scheme is not None:
             self.scheme.setup_properties(self.particles)
 
+        # inlet/outlet recycling hooks (reference application.py:842).
+        # The reference updates between integrator stages; the whole
+        # step is one jitted function here, so the recycle runs on the
+        # host after each step (one-stage lag) and the device state is
+        # re-synced.  Capacities are 128-padded, so shapes (and jits)
+        # survive small count changes.
+        particle_dict = dict((p.name, p) for p in self.particles)
+        self.inlet_outlet = self.create_inlet_outlet(particle_dict)
+        if self.inlet_outlet:
+            def _io_update(solver):
+                solver._sync_to_host()
+                for obj in self.inlet_outlet:
+                    for stage in (1, 2):
+                        obj.update(solver.t, solver.dt, stage)
+                solver._sync_to_device()
+                solver._nnps_carry = None
+            self.solver.add_post_step_callback(_io_update)
+
         # restart
         if self.options.restart_file is not None:
             from pysph_tpu.solver.output import load

@@ -1,0 +1,90 @@
+"""Do-nothing outlet strategy (parity with
+/root/reference/pysph/sph/bc/donothing/simple_inlet_outlet.py)."""
+
+from pysph_tpu.sph.bc.inlet_outlet_manager import InletOutletManager
+
+
+class SimpleInletOutlet(InletOutletManager):
+    def add_io_properties(self, pa, scheme=None):
+        """(reference donothing/simple_inlet_outlet.py:11)"""
+        default_props = [
+            'disp', 'ioid', 'wij', 'x0', 'y0', 'z0', 'uhat', 'vhat',
+            'what', 'xn', 'yn', 'zn']
+        stride_data = {'A': 16, 'Bp': 4, 'po': 4, 'Buh': 4, 'Bvh': 4,
+                       'Bwh': 4, 'uho': 4, 'vho': 4, 'who': 4}
+        for prop in default_props:
+            pa.add_property(prop)
+        for prop, stride in stride_data.items():
+            pa.add_property(prop, stride=stride)
+        if 'uref' not in pa.constants:
+            pa.add_constant('uref', 0.0)
+
+    def get_stepper(self, scheme, cls, edactvf=False):
+        from pysph_tpu.sph.bc.inlet_outlet_manager import (
+            InletStep, OutletStepWithUhat)
+        from pysph_tpu.sph.integrator import PECIntegrator
+        steppers = {}
+        if cls == PECIntegrator:
+            for inlet in self.inlets:
+                steppers[inlet] = InletStep()
+            for outlet in self.outlets:
+                steppers[outlet] = OutletStepWithUhat()
+            for g_inlet in self.ghost_inlets:
+                steppers[g_inlet] = InletStep()
+            self.active_stages = [2]
+        return steppers
+
+    def get_equations(self, scheme=None, summation_density=False,
+                      edactvf=False):
+        from pysph_tpu.sph.bc.inlet_outlet_manager import (
+            CopyNormalsandDistances, UpdateNormalsAndDisplacements)
+        from pysph_tpu.sph.bc.interpolate import (
+            CopyPFromGhost, CopyUhatFromGhost, EvaluateP, EvaluateUhat,
+            ExtrapolateP, ExtrapolateUhat, UpdateMomentMatrix)
+        from pysph_tpu.sph.equation import Group
+
+        equations = []
+        g00 = []
+        for info in self.inletinfo:
+            g00.append(UpdateNormalsAndDisplacements(
+                dest=info.pa_name, sources=None, xn=info.normal[0],
+                yn=info.normal[1], zn=info.normal[2],
+                xo=info.refpoint[0], yo=info.refpoint[1],
+                zo=info.refpoint[2]))
+            g00.append(CopyNormalsandDistances(
+                dest=self.inlet_pairs[info.pa_name],
+                sources=[info.pa_name]))
+        equations.append(Group(equations=g00, real=False))
+
+        equations.append(Group(equations=[
+            UpdateMomentMatrix(dest=name, sources=self.fluids,
+                               dim=self.dim)
+            for name in self.ghost_inlets], real=False))
+
+        g03 = []
+        for name in self.ghost_inlets:
+            g03.append(EvaluateUhat(dest=name, sources=self.fluids,
+                                    dim=self.dim))
+            g03.append(EvaluateP(dest=name, sources=self.fluids,
+                                 dim=self.dim))
+        equations.append(Group(equations=g03, real=False))
+
+        g04 = []
+        for name in self.ghost_inlets:
+            g04.append(ExtrapolateUhat(dest=name, sources=None))
+            g04.append(ExtrapolateP(dest=name, sources=None))
+        equations.append(Group(equations=g04, real=False))
+
+        g05 = []
+        for io in self.inlet_pairs:
+            g05.append(CopyUhatFromGhost(
+                dest=io, sources=[self.inlet_pairs[io]]))
+            g05.append(CopyPFromGhost(
+                dest=io, sources=[self.inlet_pairs[io]]))
+        equations.append(Group(equations=g05, real=False))
+
+        g06 = []
+        for info in self.inletinfo + self.outletinfo:
+            g06.extend(info.equations)
+        equations.append(Group(equations=g06, real=False))
+        return equations

@@ -1,0 +1,6 @@
+"""Hybrid outlet (parity with /root/reference/pysph/sph/bc/hybrid/outlet.py)."""
+from pysph_tpu.sph.bc.inlet_outlet_manager import OutletBase
+
+
+class Outlet(OutletBase):
+    pass

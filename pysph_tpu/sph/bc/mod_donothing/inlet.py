@@ -1,0 +1,6 @@
+"""(parity with /root/reference/pysph/sph/bc/mod_donothing/inlet.py)"""
+from pysph_tpu.sph.bc.inlet_outlet_manager import InletBase
+
+
+class Inlet(InletBase):
+    pass
