@@ -155,7 +155,12 @@ class CRKSPH(Equation):
                     d_gradbi[d * d * d_idx + d * gam + alp] * XIJ[alp]
             dbxij.append(temp)
 
-        d_cwij[d_idx] = ai * (1 + bxij)
+        # the reference writes the per-pair value A_i(1+B_i.x_ij) into
+        # cwij as a channel read by the NEXT equation within the same
+        # pair iteration; equations here run whole-block, so consumers
+        # (SummationDensityCRKSPH) recompute the pair factor locally
+        # and the stored prop keeps the self-pair value A_i.
+        d_cwij[d_idx] = ai
 
         res = []
         for gam in range(d):
@@ -208,7 +213,7 @@ class CRKSPHSymmetric(Equation):
             dbxij.append(temp)
             dbxji.append(temp1)
 
-        d_cwij[d_idx] = ai * (1 + bxij)
+        d_cwij[d_idx] = ai   # see CRKSPH.loop on the cwij channel
 
         for gam in range(d):
             temp = (ai * DWI[gam] +
@@ -243,9 +248,17 @@ class SummationDensityCRKSPH(Equation):
         d_rhofac[d_idx] = 0.0
 
     def loop(self, d_idx, s_idx, d_m, d_rho, d_rhofac, s_V, WIJ,
-             d_cwij):
+             d_ai, d_bi, XIJ):
+        # per-pair corrected kernel factor A_i(1 + B_i . x_ij): the
+        # reference reads this from the cwij channel written by
+        # CRKSPH(Symmetric) in the same pair iteration.
+        d = 3
+        bxij = 0.0
+        for alp in range(d):
+            bxij = bxij + d_bi[d * d_idx + alp] * XIJ[alp]
+        cwij = d_ai[d_idx] * (1 + bxij)
         Vj = 1.0 / s_V[s_idx]
-        fac = Vj * d_cwij[d_idx] * WIJ
+        fac = Vj * cwij * WIJ
         d_rho[d_idx] += d_m[d_idx] * fac
         d_rhofac[d_idx] += Vj * fac
 
