@@ -560,6 +560,7 @@ class AccelerationEval(object):
         self.schemas = {pa.name: ArraySchema.from_particle_array(pa)
                         for pa in particle_arrays}
         self.groups = self._make_groups(equations)
+        self._loop_diag = None
         self._validate()
         self.nnps_pairs = self._collect_pairs(self.groups)
         self.arrays_used = sorted({n for pair in self.nnps_pairs
@@ -690,15 +691,27 @@ class AccelerationEval(object):
     def update_and_compute(self, t, dt, states):
         handle, diag = self.prepare(states)
         states = self.compute(t, dt, states, handle)
+        loop_diag = self.consume_loop_diag()
+        if loop_diag is not None:
+            diag = {k: diag[k] | loop_diag[k] for k in diag}
         return states, diag
 
     def compute(self, t, dt, states, handle):
         states = dict(states)
+        self._loop_diag = None
         stores = self._wrap(states, handle)
         for group in self.groups:
             stores, handle = self._dispatch_group(group, t, dt, stores,
                                                   handle)
         return self._finalize(stores, states)
+
+    def consume_loop_diag(self):
+        """Overflow flags raised by in-group rebinning during the last
+        ``compute`` (update_nnps groups and iterated groups re-bin
+        outside the caller's prepare)."""
+        diag = self._loop_diag
+        self._loop_diag = None
+        return diag
 
     def _wrap(self, states, handle):
         return {name: SlotStore(states[name], handle.layouts[name],
@@ -720,18 +733,37 @@ class AccelerationEval(object):
             states = self._finalize(stores, None)
             if group.condition is not None:
                 cond = group.condition(t, dt)
-                states = jax.lax.cond(
-                    cond,
-                    lambda s: self._run_group_functional(
-                        group, t, dt, s, handle),
-                    lambda s: s, states)
+                diag0 = {'cell_overflow': jnp.asarray(False),
+                         'extent_overflow': jnp.asarray(False)}
+
+                def _run(s):
+                    saved = self._loop_diag
+                    self._loop_diag = diag0
+                    out = self._run_group_functional(group, t, dt, s,
+                                                     handle)
+                    d = self._loop_diag
+                    self._loop_diag = saved
+                    return out, d
+
+                states, d = jax.lax.cond(
+                    cond, _run, lambda s: (s, diag0), states)
+                if self._loop_diag is None:
+                    self._loop_diag = d
+                else:
+                    self._loop_diag = {
+                        k: self._loop_diag[k] | d[k] for k in d}
             else:
                 states = self._run_iterated(group, t, dt, states, handle)
             return self._wrap(states, handle), handle
         stores = self._run_group_once(group, t, dt, stores, handle)
         if group.update_nnps:
             states = self._finalize(stores, None)
-            handle, _diag = self.prepare(states)
+            handle, diag = self.prepare(states)
+            if self._loop_diag is None:
+                self._loop_diag = dict(diag)
+            else:
+                self._loop_diag = {k: self._loop_diag[k] | diag[k]
+                                   for k in diag}
             stores = self._wrap(states, handle)
         return stores, handle
 
@@ -745,23 +777,40 @@ class AccelerationEval(object):
         min_it = int(group.min_iterations)
 
         def body(carry):
-            s, it, _ = carry
+            s, it, _, diag = carry
             if group.update_nnps:
                 # e.g. the grad-h density iteration changes h every
                 # sweep; re-bin inside the loop body.
-                h, _diag = self.prepare(s)
+                h, d = self.prepare(s)
+                diag = {k: diag[k] | d[k] for k in diag}
             else:
                 h = handle
+            # nested subgroups may rebin too; their overflow flags
+            # must ride the while carry, not leak via self.
+            saved = self._loop_diag
+            self._loop_diag = diag
             s = self._run_group_functional(group, t, dt, s, h)
+            diag = self._loop_diag
+            self._loop_diag = saved
             conv = self._group_converged(group, s, h)
-            return (s, it + 1, conv)
+            return (s, it + 1, conv, diag)
 
         def cond(carry):
-            _, it, conv = carry
+            _, it, conv, _ = carry
             return (it < max_it) & ~(conv & (it >= min_it))
 
-        init = (states, jnp.asarray(0, jnp.int32), jnp.asarray(False))
-        states, _, _ = jax.lax.while_loop(cond, body, init)
+        diag0 = {'cell_overflow': jnp.asarray(False),
+                 'extent_overflow': jnp.asarray(False)}
+        init = (states, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                diag0)
+        states, _, _, diag = jax.lax.while_loop(cond, body, init)
+        # overflows inside the loop silently drop neighbors; surface
+        # them so the solver can grow the grid and redo the step.
+        if self._loop_diag is None:
+            self._loop_diag = diag
+        else:
+            self._loop_diag = {k: self._loop_diag[k] | diag[k]
+                               for k in diag}
         return states
 
     def _group_converged(self, group, states, handle):

@@ -154,6 +154,9 @@ class Integrator(object):
             self._merge_diag(diag)
         self._states = a_eval.compute(self._t, self._dt, self._states,
                                       self._lists[index])
+        loop_diag = a_eval.consume_loop_diag()
+        if loop_diag is not None:
+            self._merge_diag(loop_diag)
 
     def update_domain(self):
         if self.domain is not None and self.domain.is_periodic:

@@ -31,12 +31,17 @@ class SPHEvaluator(object):
         for pa in self.arrays:
             states[pa.name], _ = pa.to_device()
         states, diag = self._jit_eval(t, dt, states)
-        if bool(diag['cell_overflow']) or bool(diag['extent_overflow']):
+        # iterated groups can grow h and overflow the grid repeatedly
+        for _ in range(4):
+            if not (bool(diag['cell_overflow']) or
+                    bool(diag['extent_overflow'])):
+                break
             self._create_nnps(self.arrays, grow=True)
             states = {}
             for pa in self.arrays:
                 states[pa.name], _ = pa.to_device()
-            states, _ = self.func_eval.update_and_compute(t, dt, states)
+            states, diag = self.func_eval.update_and_compute(t, dt,
+                                                             states)
         for pa in self.arrays:
             pa.update_from_device(states[pa.name])
 
