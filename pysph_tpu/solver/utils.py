@@ -91,3 +91,17 @@ class ProgressBar(object):
 def dump_v2(*args, **kw):  # pragma: no cover
     from pysph_tpu.solver.output import dump
     return dump(*args, **kw)
+
+
+def iter_output(files, *arrays):
+    """Iterate over output files yielding (solver_data, *arrays)
+    (reference solver/utils.py:196)."""
+    from pysph_tpu.solver.output import load
+    for f in files:
+        data = load(f)
+        solver_data = data['solver_data']
+        if not arrays:
+            yield solver_data, data['arrays']
+        else:
+            wanted = [data['arrays'][name] for name in arrays]
+            yield tuple([solver_data] + wanted)
