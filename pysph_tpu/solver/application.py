@@ -113,6 +113,47 @@ class Application(object):
                             dest='post_process', default=None, nargs='?',
                             const='.',
                             help='Only perform post-processing.')
+        parser.add_argument('-o', '--fname', action='store',
+                            dest='fname', default=None,
+                            help='Output file base name.')
+        parser.add_argument('--compress-output', action='store_true',
+                            dest='compress_output', default=False,
+                            help='Compress the output files.')
+        parser.add_argument('--output-at-times', action='store',
+                            dest='output_at_times', default=None,
+                            help='Comma-separated times to dump at.')
+        parser.add_argument('--kernel', action='store', dest='kernel',
+                            default=None,
+                            choices=[
+                                'CubicSpline', 'Gaussian',
+                                'QuinticSpline', 'SuperGaussian',
+                                'WendlandQuintic', 'WendlandQuinticC2_1D',
+                                'WendlandQuinticC4', 'WendlandQuinticC4_1D',
+                                'WendlandQuinticC6', 'WendlandQuinticC6_1D',
+                            ],
+                            help='SPH kernel to use.')
+        parser.add_argument('--nnps', action='store', dest='nnps',
+                            default='grid',
+                            choices=['grid', 'll', 'box', 'sh', 'ci',
+                                     'strat_hash', 'strat_sfc', 'octree',
+                                     'comp_octree'],
+                            help='Neighbor search strategy (every choice '
+                                 'maps to the dense TPU cell grid; '
+                                 'accepted for CLI compatibility).')
+        parser.add_argument('--command-interval', action='store',
+                            type=int, dest='command_interval', default=1,
+                            help='Command-handler polling interval.')
+        parser.add_argument('--xml-rpc', action='store', dest='xml_rpc',
+                            default=None, metavar='HOST:PORT',
+                            help='Serve an XML-RPC control interface.')
+        parser.add_argument('--multiproc', action='store',
+                            dest='multiproc', default=None,
+                            metavar='AUTHKEY@HOST:PORT',
+                            help='Serve a multiprocessing control '
+                                 'interface.')
+        parser.add_argument('--profile', action='store_true',
+                            dest='profile', default=False,
+                            help='Print step timing statistics at exit.')
 
         scheme = self.scheme
         if scheme is not None:
@@ -330,9 +371,49 @@ class Application(object):
         if options.n_damp is not None:
             solver.set_n_damp(options.n_damp)
         solver.set_max_steps(options.max_steps)
+        if getattr(options, 'fname', None):
+            self.fname = options.fname
+            solver.set_output_fname(options.fname)
+        if getattr(options, 'compress_output', False):
+            solver.set_compress_output(True)
+        if getattr(options, 'output_at_times', None):
+            times = [float(t) for t in
+                     str(options.output_at_times).split(',') if t]
+            solver.set_output_at_times(times)
+        if getattr(options, 'kernel', None):
+            import pysph_tpu.base.kernels as _kern
+            solver.kernel = getattr(_kern, options.kernel)(
+                dim=self.solver.dim)
+            self.nnps = self.create_nnps() or GridSpec.from_particles(
+                self.particles, dim=self.solver.dim,
+                radius_scale=solver.kernel.radius_scale,
+                domain=self.domain,
+                cell_capacity=self.options.cell_capacity)
 
         solver.setup(self.particles, self.equations, self.nnps,
                      solver.kernel)
+
+        # remote-control interfaces (reference application.py:1100)
+        if getattr(options, 'xml_rpc', None) or \
+                getattr(options, 'multiproc', None):
+            from pysph_tpu.solver.controller import CommandManager
+            from pysph_tpu.solver import solver_interfaces as si
+            cm = CommandManager(solver)
+            solver.set_command_handler(cm.execute_commands,
+                                       options.command_interval)
+            if options.xml_rpc:
+                host, _, port = options.xml_rpc.partition(':')
+                iface = si.XMLRPCInterface((host or 'localhost',
+                                            int(port or 8900)))
+                cm.add_interface(iface.start)
+            if options.multiproc:
+                spec = options.multiproc
+                authkey, _, addr = spec.rpartition('@')
+                host, _, port = addr.partition(':')
+                iface = si.MultiprocessingInterface(
+                    (host or 'localhost', int(port or 8800)),
+                    authkey=(authkey or 'pysph').encode())
+                cm.add_interface(iface.start)
 
         # wire app callbacks
         if type(self).pre_step != Application.pre_step:
