@@ -14,7 +14,13 @@ from pysph_tpu.base.domain import DomainManager
 from pysph_tpu.base.kernels import QuinticSpline
 from pysph_tpu.base.utils import get_particle_array
 from pysph_tpu.solver.application import Application
-from pysph_tpu.sph.scheme import SchemeChooser, TVFScheme
+from pysph_tpu.sph.iisph import IISPHScheme
+from pysph_tpu.sph.isph.isph import ISPHScheme
+from pysph_tpu.sph.isph.sisph import SISPHScheme
+from pysph_tpu.sph.scheme import SchemeChooser, TVFScheme, WCSPHScheme
+from pysph_tpu.sph.wc.crksph import CRKSPHScheme
+from pysph_tpu.sph.wc.edac import EDACScheme
+from pysph_tpu.sph.wc.gtvf import GTVFScheme
 from pysph_tpu.sph.wc.pcisph import PCISPHScheme
 
 L = 1.0
@@ -67,22 +73,55 @@ class TaylorGreen(Application):
 
     def create_scheme(self):
         h0 = None
+        wcsph = WCSPHScheme(['fluid'], [], dim=2, rho0=rho0, c0=c0,
+                            h0=h0, hdx=None, nu=None, gamma=7.0,
+                            alpha=0.0, beta=0.0)
         tvf = TVFScheme(['fluid'], [], dim=2, rho0=rho0, c0=c0, nu=None,
                         p0=p0, pb=None, h0=h0)
+        edac = EDACScheme(['fluid'], [], dim=2, rho0=rho0, c0=c0,
+                          nu=None, pb=p0, h=h0)
+        iisph = IISPHScheme(fluids=['fluid'], solids=[], dim=2,
+                            nu=None, rho0=rho0)
+        crksph = CRKSPHScheme(fluids=['fluid'], dim=2, nu=None,
+                              rho0=rho0, h0=h0, c0=c0, p0=0.0)
+        gtvf = GTVFScheme(fluids=['fluid'], solids=[], dim=2,
+                          rho0=rho0, c0=c0, nu=None, h0=None,
+                          pref=None)
         pcisph = PCISPHScheme(['fluid'], dim=2, rho0=rho0, nu=None,
                               tolerance=0.05)
-        return SchemeChooser(default='tvf', tvf=tvf, pcisph=pcisph)
+        sisph = SISPHScheme(fluids=['fluid'], solids=[], dim=2,
+                            nu=None, rho0=rho0, c0=c0, alpha=0.0,
+                            pref=p0, rho_cutoff=0.2,
+                            internal_flow=True, gtvf=True)
+        isph = ISPHScheme(fluids=['fluid'], solids=[], dim=2,
+                          nu=None, rho0=rho0, c0=c0, alpha=0.0)
+        return SchemeChooser(default='tvf', wcsph=wcsph, tvf=tvf,
+                             edac=edac, iisph=iisph, crksph=crksph,
+                             gtvf=gtvf, pcisph=pcisph, sisph=sisph,
+                             isph=isph)
 
     def configure_scheme(self):
         h0 = self.hdx * self.dx
+        pfreq = 500
         kernel = QuinticSpline(dim=2)
-        if self.options.scheme == 'tvf':
+        choice = self.options.scheme
+        if choice == 'tvf':
             self.scheme.configure(pb=self.options.pb_factor * p0,
                                   nu=self.nu, h0=h0)
-        else:
+        elif choice == 'wcsph':
+            self.scheme.configure(hdx=self.hdx, nu=self.nu, h0=h0)
+        elif choice == 'edac':
+            self.scheme.configure(h=h0, nu=self.nu,
+                                  pb=self.options.pb_factor * p0)
+        elif choice.endswith('isph'):
+            pfreq = 10
             self.scheme.configure(nu=self.nu)
+        elif choice == 'crksph':
+            self.scheme.configure(h0=h0, nu=self.nu)
+        elif choice == 'gtvf':
+            self.scheme.configure(pref=p0, nu=self.nu, h0=h0)
         self.scheme.configure_solver(kernel=kernel, tf=self.tf,
-                                     dt=self.dt, pfreq=500)
+                                     dt=self.dt, pfreq=pfreq)
 
     def create_domain(self):
         return DomainManager(xmin=0, xmax=L, ymin=0, ymax=L,

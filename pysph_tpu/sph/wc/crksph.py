@@ -123,11 +123,11 @@ class CRKSPHPreStep(Equation):
         bad = singular | (d_crk_nnbr[d_idx] < 2)
         d_ai[d_idx] = jnp.where(bad, 1.0, ai)
         for i in range(d):
-            d_gradai[d * d_idx + i] = jnp.where(bad, 0.0,
+            d_gradai[3 * d_idx + i] = jnp.where(bad, 0.0,
                                                 gradai[:, i])
-            d_bi[d * d_idx + i] = jnp.where(bad, 0.0, bi[:, i])
+            d_bi[3 * d_idx + i] = jnp.where(bad, 0.0, bi[:, i])
             for j in range(d):
-                d_gradbi[d * d * d_idx + d * i + j] = jnp.where(
+                d_gradbi[9 * d_idx + 3 * i + j] = jnp.where(
                     bad, 0.0, gradbi[:, i, j])
 
 
@@ -146,13 +146,13 @@ class CRKSPH(Equation):
         eps = 1.0e-4 * HIJ
         bxij = 0.0
         for alp in range(d):
-            bxij = bxij + d_bi[d * d_idx + alp] * XIJ[alp]
+            bxij = bxij + d_bi[3 * d_idx + alp] * XIJ[alp]
         dbxij = []
         for gam in range(d):
             temp = 0.0
             for alp in range(d):
                 temp = temp + \
-                    d_gradbi[d * d * d_idx + d * gam + alp] * XIJ[alp]
+                    d_gradbi[9 * d_idx + 3 * gam + alp] * XIJ[alp]
             dbxij.append(temp)
 
         # the reference writes the per-pair value A_i(1+B_i.x_ij) into
@@ -165,8 +165,8 @@ class CRKSPH(Equation):
         res = []
         for gam in range(d):
             r = (ai * DWIJ[gam] +
-                 d_gradai[d * d_idx + gam] * WIJ) * (1 + bxij)
-            r = r + ai * (dbxij[gam] + d_bi[d * d_idx + gam]) * WIJ
+                 d_gradai[3 * d_idx + gam] * WIJ) * (1 + bxij)
+            r = r + ai * (dbxij[gam] + d_bi[3 * d_idx + gam]) * WIJ
             res.append(r)
 
         res_mag = sum(jnp.abs(res[i]) for i in range(d))
@@ -198,8 +198,8 @@ class CRKSPHSymmetric(Equation):
         bxij = 0.0
         bxji = 0.0
         for alp in range(d):
-            bxij = bxij + d_bi[d * d_idx + alp] * XIJ[alp]
-            bxji = bxji - s_bi[d * s_idx + alp] * XIJ[alp]
+            bxij = bxij + d_bi[3 * d_idx + alp] * XIJ[alp]
+            bxji = bxji - s_bi[3 * s_idx + alp] * XIJ[alp]
         dbxij = []
         dbxji = []
         for gam in range(d):
@@ -207,9 +207,9 @@ class CRKSPHSymmetric(Equation):
             temp1 = 0.0
             for alp in range(d):
                 temp = temp + \
-                    d_gradbi[d * d * d_idx + d * gam + alp] * XIJ[alp]
+                    d_gradbi[9 * d_idx + 3 * gam + alp] * XIJ[alp]
                 temp1 = temp1 - \
-                    s_gradbi[d * d * s_idx + d * gam + alp] * XIJ[alp]
+                    s_gradbi[9 * s_idx + 3 * gam + alp] * XIJ[alp]
             dbxij.append(temp)
             dbxji.append(temp1)
 
@@ -217,14 +217,14 @@ class CRKSPHSymmetric(Equation):
 
         for gam in range(d):
             temp = (ai * DWI[gam] +
-                    d_gradai[d * d_idx + gam] * wij) * (1 + bxij)
+                    d_gradai[3 * d_idx + gam] * wij) * (1 + bxij)
             temp = temp + ai * (dbxij[gam] +
-                                d_bi[d * d_idx + gam]) * wij
+                                d_bi[3 * d_idx + gam]) * wij
             # dwji: gradient wrt x_j of W(|xij|, hj) = -DWJ
             temp1 = (-aj * (-DWJ[gam]) +
-                     s_gradai[d * s_idx + gam] * wji) * (1 + bxji)
+                     s_gradai[3 * s_idx + gam] * wji) * (1 + bxji)
             temp1 = temp1 + aj * (dbxji[gam] +
-                                  s_bi[d * s_idx + gam]) * wji
+                                  s_bi[3 * s_idx + gam]) * wji
             DWIJ[gam] = 0.5 * (temp - temp1)
             DWI[gam] = temp
             DWJ[gam] = temp1
@@ -255,7 +255,7 @@ class SummationDensityCRKSPH(Equation):
         d = 3
         bxij = 0.0
         for alp in range(d):
-            bxij = bxij + d_bi[d * d_idx + alp] * XIJ[alp]
+            bxij = bxij + d_bi[3 * d_idx + alp] * XIJ[alp]
         cwij = d_ai[d_idx] * (1 + bxij)
         Vj = 1.0 / s_V[s_idx]
         fac = Vj * cwij * WIJ
