@@ -487,3 +487,22 @@ class IISPHScheme(Scheme):
                 if c not in pa.constants:
                     pa.add_constant(c, v)
             pa.set_output_arrays(dummy.output_property_arrays)
+
+
+class UpdateGhostProps(Equation):
+    """Ghost copy (reference iisph.py:243); no mirrored ghosts in the
+    grid engine — no-op kept for API parity."""
+
+    def __init__(self, dest, sources=None):
+        super(UpdateGhostProps, self).__init__(dest, sources)
+
+    def initialize(self, d_idx):
+        pass
+
+
+class UpdateGhostPressure(Equation):
+    """Ghost pressure copy (reference iisph.py:358) — no-op; see
+    UpdateGhostProps."""
+
+    def initialize(self, d_idx):
+        pass

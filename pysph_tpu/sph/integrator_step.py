@@ -502,3 +502,68 @@ class SolidMechStep(IntegratorStep):
         d_s11[d_idx] = d_s110[d_idx] + dt * d_as11[d_idx]
         d_s12[d_idx] = d_s120[d_idx] + dt * d_as12[d_idx]
         d_s22[d_idx] = d_s220[d_idx] + dt * d_as22[d_idx]
+
+
+class TwoStageRigidBodyStep(IntegratorStep):
+    """Two-stage rigid-body kinematics
+    (reference integrator_step.py:506)."""
+
+    def initialize(self, d_idx, d_x, d_y, d_z, d_x0, d_y0, d_z0, d_u,
+                   d_v, d_w, d_u0, d_v0, d_w0):
+        d_u0[d_idx] = d_u[d_idx]
+        d_v0[d_idx] = d_v[d_idx]
+        d_w0[d_idx] = d_w[d_idx]
+        d_x0[d_idx] = d_x[d_idx]
+        d_y0[d_idx] = d_y[d_idx]
+        d_z0[d_idx] = d_z[d_idx]
+
+    def stage1(self, d_idx, d_x, d_y, d_z, d_x0, d_y0, d_z0, d_u, d_v,
+               d_w, d_u0, d_v0, d_w0, d_au, d_av, d_aw, dt):
+        dtb2 = 0.5 * dt
+        d_u[d_idx] = d_u0[d_idx] + dtb2 * d_au[d_idx]
+        d_v[d_idx] = d_v0[d_idx] + dtb2 * d_av[d_idx]
+        d_w[d_idx] = d_w0[d_idx] + dtb2 * d_aw[d_idx]
+        d_x[d_idx] = d_x0[d_idx] + dtb2 * 0.5 * (d_u[d_idx] +
+                                                 d_u0[d_idx])
+        d_y[d_idx] = d_y0[d_idx] + dtb2 * 0.5 * (d_v[d_idx] +
+                                                 d_v0[d_idx])
+        d_z[d_idx] = d_z0[d_idx] + dtb2 * 0.5 * (d_w[d_idx] +
+                                                 d_w0[d_idx])
+
+    def stage2(self, d_idx, d_x, d_y, d_z, d_x0, d_y0, d_z0, d_u, d_v,
+               d_w, d_u0, d_v0, d_w0, d_au, d_av, d_aw, dt):
+        d_u[d_idx] = d_u0[d_idx] + dt * d_au[d_idx]
+        d_v[d_idx] = d_v0[d_idx] + dt * d_av[d_idx]
+        d_w[d_idx] = d_w0[d_idx] + dt * d_aw[d_idx]
+        d_x[d_idx] = d_x0[d_idx] + dt * 0.5 * (d_u[d_idx] +
+                                               d_u0[d_idx])
+        d_y[d_idx] = d_y0[d_idx] + dt * 0.5 * (d_v[d_idx] +
+                                               d_v0[d_idx])
+        d_z[d_idx] = d_z0[d_idx] + dt * 0.5 * (d_w[d_idx] +
+                                               d_w0[d_idx])
+
+
+class OneStageRigidBodyStep(IntegratorStep):
+    """One-stage rigid-body kinematics
+    (reference integrator_step.py:559)."""
+
+    def initialize(self, d_idx, d_x, d_y, d_z, d_x0, d_y0, d_z0, d_u,
+                   d_v, d_w, d_u0, d_v0, d_w0):
+        d_u0[d_idx] = d_u[d_idx]
+        d_v0[d_idx] = d_v[d_idx]
+        d_w0[d_idx] = d_w[d_idx]
+        d_x0[d_idx] = d_x[d_idx]
+        d_y0[d_idx] = d_y[d_idx]
+        d_z0[d_idx] = d_z[d_idx]
+
+    def stage1(self, d_idx):
+        pass
+
+    def stage2(self, d_idx, d_x, d_y, d_z, d_u, d_v, d_w, d_u0, d_v0,
+               d_w0, d_au, d_av, d_aw, dt):
+        d_u[d_idx] += dt * d_au[d_idx]
+        d_v[d_idx] += dt * d_av[d_idx]
+        d_w[d_idx] += dt * d_aw[d_idx]
+        d_x[d_idx] += dt * 0.5 * (d_u[d_idx] + d_u0[d_idx])
+        d_y[d_idx] += dt * 0.5 * (d_v[d_idx] + d_v0[d_idx])
+        d_z[d_idx] += dt * 0.5 * (d_w[d_idx] + d_w0[d_idx])
