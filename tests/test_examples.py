@@ -22,6 +22,13 @@ EXAMPLES = [
      ['--nl', '100', '--scheme', 'mpm']),
     ('pysph_tpu.examples.shocktube', 'ShockTube',
      ['--nl', '100', '--scheme', 'adke']),
+    ('pysph_tpu.examples.cavity', 'LidDrivenCavity', ['--nx', '12']),
+    ('pysph_tpu.examples.couette', 'CouetteFlow', []),
+    ('pysph_tpu.examples.hydrostatic_tank', 'HydrostaticTank', []),
+    ('pysph_tpu.examples.cylindrical_dambreak', 'CylindricalDamBreak',
+     ['--n', '12']),
+    ('pysph_tpu.examples.sedov', 'SedovPointExplosion',
+     ['--nx', '31']),
 ]
 
 
