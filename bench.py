@@ -26,6 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pysph_tpu.config import get_config
+    get_config().use_pallas = jax.default_backend() in ('tpu', 'axon')
+
     from pysph_tpu.base.cell_grid import GridSpec
     from pysph_tpu.base.kernels import Gaussian
     from pysph_tpu.base.utils import get_particle_array_wcsph

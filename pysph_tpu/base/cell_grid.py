@@ -290,6 +290,30 @@ def to_slots(layout, flat_arr, fill=0):
     return jnp.where(layout.slot_mask[:, None], out, fill)
 
 
+def to_slots_many(layout, flat_arrs, fill=0):
+    """Batched ``to_slots`` for same-dtype 1D props: one (cap, P) row
+    gather instead of P scalar gathers (~7x cheaper on TPU, where 1D
+    gathers lower to near-scalar loads — see PERF_NOTES.md)."""
+    if len(flat_arrs) == 1:
+        return [to_slots(layout, flat_arrs[0], fill)]
+    m = jnp.stack(flat_arrs, axis=1)
+    idx = jnp.maximum(layout.slot_to_particle, 0)
+    out = jnp.where(layout.slot_mask[:, None], m[idx], fill)
+    return [out[:, i] for i in range(len(flat_arrs))]
+
+
+def from_slots_many(layout, slot_arrs, flat_arrs):
+    """Batched ``from_slots`` (same rationale as to_slots_many)."""
+    if len(slot_arrs) == 1:
+        return [from_slots(layout, slot_arrs[0], flat_arrs[0])]
+    s = jnp.stack(slot_arrs, axis=1)
+    f = jnp.stack(flat_arrs, axis=1)
+    idx = jnp.minimum(layout.particle_to_slot, s.shape[0] - 1)
+    ok = layout.particle_to_slot < s.shape[0]
+    out = jnp.where(ok[:, None], s[idx], f)
+    return [out[:, i] for i in range(len(slot_arrs))]
+
+
 def from_slots(layout, slot_arr, flat_arr):
     """Scatter slot values back to flat particle order; untouched
     (inactive) rows keep their old values."""

@@ -24,6 +24,28 @@ class Config(object):
         self.cell_capacity_3d = 40
         # Chunk size for the blocked neighbor-list build.
         self.nbr_chunk_size = 2048
+        # Run eligible pair phases in the fused pallas kernel
+        # (ops/pallas_engine.py); falls back to the XLA roll engine
+        # per group when a phase is ineligible.  'auto' (default)
+        # enables it on TPU backends; interpret mode on CPU is only
+        # for tests.
+        self._use_pallas = os.environ.get('PYSPH_TPU_PALLAS', 'auto')
+
+    @property
+    def use_pallas(self):
+        v = self._use_pallas
+        if v == 'auto':
+            import jax as _jax
+            v = _jax.default_backend() in ('tpu', 'axon')
+            self._use_pallas = v
+        elif not isinstance(v, bool):
+            v = v in ('1', 'true', 'True')
+            self._use_pallas = v
+        return self._use_pallas
+
+    @use_pallas.setter
+    def use_pallas(self, v):
+        self._use_pallas = bool(v)
 
     @property
     def use_double(self):

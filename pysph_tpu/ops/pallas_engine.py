@@ -1,0 +1,688 @@
+"""Pallas pair-phase executor: runs equation ``loop`` methods inside a
+fused TPU kernel over the dense cell grid.
+
+The XLA roll engine (sph/acceleration_eval.py) evaluates dense
+``(C, M, S*M)`` pair blocks whose temporaries stream through HBM
+(~10% VPU efficiency measured; see PERF_NOTES.md).  This executor
+traces the *same* equation ``loop`` methods — unchanged — inside a
+pallas kernel where the pair block lives in VMEM:
+
+- grid ``(nx, ny, 3)``: each program owns one cell row (fixed x, y);
+  the inner grid axis is the x-offset, accumulated into the output
+  block across grid revisits (``@pl.when(k == 0)`` init);
+- the 3 y-offsets arrive as separately index-mapped input blocks;
+- the 3 z-offsets are lane-concatenated so the pair block is
+  ``(nz, Md, 3*Ms)`` — one 128-lane tile for Ms <= 42.
+
+``dims`` is always a 3-tuple (1D/2D grids have singleton dims whose
+phantom neighbor offsets are edge-masked away), so the same kernel
+serves all dimensions.
+
+Eligibility is discovered by a cheap recording pass over tiny arrays;
+anything the kernel cannot express (strided writes, source writes,
+``NBRS`` iteration, cross-equation read-after-write of accumulated
+values, non-float accumulation) raises ``PallasIneligible`` and the
+caller falls back to the XLA path.  Semantics parity notes:
+
+- Reads of a dest property return its value *before the pair phase*
+  (the delta-subtraction convention), so ``d_x[d_idx] + expr``
+  self-accumulation is exact.  An equation reading a property that an
+  *earlier* equation of the same pair phase accumulates would observe
+  a different (pre-accumulation) value than under the XLA engine —
+  detected and rejected.
+- The write mask (``real`` groups, start/stop idx) gates the final
+  combine exactly like GridPairDest (acceleration_eval.py:176).
+"""
+
+import functools
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from pysph_tpu.sph.equation import (
+    IndexSym, _AccumMax, _AccumMin, _method_args)
+
+
+class PallasIneligible(Exception):
+    """This pair phase cannot run in the pallas kernel; fall back."""
+
+
+# dest/src property dependencies of each precomputed pair symbol
+_XYZH = ('x', 'y', 'z', 'h')
+_SYM_DEPS = {
+    'HIJ': ('h',), 'EPS': ('h',), 'RHOIJ': ('rho',),
+    'RHOIJ1': ('rho',), 'XIJ': ('x', 'y', 'z'),
+    'VIJ': ('u', 'v', 'w'), 'R2IJ': ('x', 'y', 'z'),
+    'RIJ': ('x', 'y', 'z'), 'WIJ': _XYZH, 'WI': _XYZH, 'WJ': _XYZH,
+    'DWIJ': _XYZH, 'DWI': _XYZH, 'DWJ': _XYZH, 'GHI': _XYZH,
+    'GHJ': _XYZH, 'GHIJ': _XYZH, 'WDASHI': _XYZH, 'WDASHJ': _XYZH,
+    'WDASHIJ': _XYZH, 'WDP': _XYZH,
+}
+_SPECIAL_ARGS = ('d_idx', 's_idx', 't', 'dt', 'SPH_KERNEL',
+                 'PAIR_MASK', 'N_NBRS')
+
+
+# ---------------------------------------------------------------------------
+# Pair views over a runner (recording or in-kernel)
+# ---------------------------------------------------------------------------
+class PlanePairDest(object):
+    __slots__ = ('runner', 'name', 'is_const')
+
+    def __init__(self, runner, name, is_const):
+        self.runner = runner
+        self.name = name
+        self.is_const = is_const
+
+    def __getitem__(self, key):
+        r = self.runner
+        if not isinstance(key, IndexSym):
+            if self.is_const:
+                return r.get_const('d', self.name, key)
+            raise PallasIneligible(
+                'fixed-index read of non-constant %r' % self.name)
+        if key.mul != 1:
+            raise PallasIneligible('strided read of %r' % self.name)
+        if self.name in r.written_before:
+            raise PallasIneligible(
+                'cross-equation read-after-write of %r' % self.name)
+        return r.dcol(self.name)[:, :, None]
+
+    def __setitem__(self, key, value):
+        r = self.runner
+        if self.is_const or not isinstance(key, IndexSym):
+            raise PallasIneligible(
+                'unsupported write target %r' % self.name)
+        if key.mul != 1:
+            raise PallasIneligible('strided write of %r' % self.name)
+        ctx = r.ctx
+        col = r.dcol(self.name)            # (nz, Md)
+        maskf = ctx.pair_maskf             # (nz, Md, 3Ms)
+        mask = maskf > 0.0
+        if isinstance(value, _AccumMax):
+            v = jnp.broadcast_to(
+                jnp.asarray(value.value, col.dtype), maskf.shape)
+            contrib = jnp.max(jnp.where(mask, v, -jnp.inf), axis=2)
+            r.accumulate(self.name, 'max', contrib)
+        elif isinstance(value, _AccumMin):
+            v = jnp.broadcast_to(
+                jnp.asarray(value.value, col.dtype), maskf.shape)
+            contrib = jnp.min(jnp.where(mask, v, jnp.inf), axis=2)
+            r.accumulate(self.name, 'min', contrib)
+        else:
+            v = jnp.asarray(value, col.dtype)
+            if not (v.ndim == 3 and v.shape[2] == maskf.shape[2]):
+                raise PallasIneligible(
+                    'per-particle assignment to %r in a pair loop'
+                    % self.name)
+            delta = jnp.where(mask, v - col[:, :, None], 0.0)
+            r.accumulate(self.name, 'sum', jnp.sum(delta, axis=2))
+
+
+class PlanePairSrc(object):
+    __slots__ = ('runner', 'name', 'is_const')
+
+    def __init__(self, runner, name, is_const):
+        self.runner = runner
+        self.name = name
+        self.is_const = is_const
+
+    def __getitem__(self, key):
+        r = self.runner
+        if not isinstance(key, IndexSym):
+            if self.is_const:
+                return r.get_const('s', self.name, key)
+            raise PallasIneligible(
+                'fixed-index read of non-constant %r' % self.name)
+        if key.mul != 1:
+            raise PallasIneligible('strided read of %r' % self.name)
+        return r.scat(self.name)[:, None, :]
+
+    def __setitem__(self, key, value):
+        raise PallasIneligible(
+            'source write s_%s[...] in a pair loop' % self.name)
+
+
+class PlanePairContext(object):
+    """Precomputed pair symbols over ``(nz, Md, 3Ms)`` plane blocks.
+
+    Reuses GridPairContext's symbol formulas (acceleration_eval.py:271)
+    via inheritance set up lazily to avoid a circular import."""
+
+    def __init__(self, runner, kernel, domain, radius_scale,
+                 dest_consts, src_consts):
+        self.runner = runner
+        self.kernel = kernel
+        self.domain = domain
+        self.radius_scale = radius_scale
+        self._dest_consts = dest_consts
+        self._src_consts = src_consts
+        self._sym = {}
+        self._dest_views = {}
+        self._src_views = {}
+        self._pair_maskf = None
+
+    def dget(self, prop):
+        return self.runner.dcol(prop)[:, :, None]
+
+    def sget(self, prop):
+        return self.runner.scat(prop)[:, None, :]
+
+    def dest_view(self, prop):
+        if prop not in self._dest_views:
+            self._dest_views[prop] = PlanePairDest(
+                self.runner, prop, prop in self._dest_consts)
+        return self._dest_views[prop]
+
+    def src_view(self, prop):
+        if prop not in self._src_views:
+            self._src_views[prop] = PlanePairSrc(
+                self.runner, prop, prop in self._src_consts)
+        return self._src_views[prop]
+
+    @property
+    def pair_maskf(self):
+        """Float indicator (Mosaic can't broadcast i1 along a new
+        minor dim) of: dest slot valid & src candidate valid & within
+        the symmetric support radius."""
+        if self._pair_maskf is None:
+            r2 = self.sym('R2IJ')
+            rs = self.radius_scale
+            sup = jnp.maximum(rs * self.dget('h'), rs * self.sget('h'))
+            self._pair_maskf = (
+                self.runner.dmaskf[:, :, None] *
+                self.runner.smaskf_cat[:, None, :] *
+                jnp.where(r2 < sup * sup, 1.0, 0.0))
+        return self._pair_maskf
+
+    @property
+    def pair_mask(self):
+        return self.pair_maskf > 0.0
+
+    def sym(self, name):
+        if name not in self._sym:
+            self._sym[name] = getattr(self, '_c_' + name.lower())()
+        return self._sym[name]
+
+
+def _install_symbol_formulas():
+    """Graft GridPairContext's _c_* symbol methods onto
+    PlanePairContext (they only use dget/sget/kernel/domain, which are
+    interface-compatible)."""
+    from pysph_tpu.sph.acceleration_eval import GridPairContext
+    for name in dir(GridPairContext):
+        if name.startswith('_c_') or name in ('_safe_h', '_grad'):
+            if not hasattr(PlanePairContext, name):
+                setattr(PlanePairContext, name,
+                        getattr(GridPairContext, name))
+
+
+# ---------------------------------------------------------------------------
+# Binding
+# ---------------------------------------------------------------------------
+def _bind_loop(fn, ctx, t, dt):
+    kwargs = {}
+    for arg in _method_args(fn):
+        if arg == 'd_idx':
+            kwargs[arg] = IndexSym('dest')
+        elif arg == 's_idx':
+            kwargs[arg] = IndexSym('src')
+        elif arg == 't':
+            kwargs[arg] = t
+        elif arg == 'dt':
+            kwargs[arg] = dt
+        elif arg == 'SPH_KERNEL':
+            kwargs[arg] = ctx.kernel
+        elif arg == 'PAIR_MASK':
+            kwargs[arg] = ctx.pair_mask
+        elif arg == 'N_NBRS':
+            kwargs[arg] = jnp.sum(ctx.pair_maskf, axis=2,
+                                  keepdims=True).astype(jnp.int32)
+        elif arg in _SYM_DEPS:
+            kwargs[arg] = ctx.sym(arg)
+        elif arg.startswith('d_'):
+            kwargs[arg] = ctx.dest_view(arg[2:])
+        elif arg.startswith('s_'):
+            kwargs[arg] = ctx.src_view(arg[2:])
+        else:
+            raise PallasIneligible('cannot bind %r of %r' % (arg, fn))
+    fn(**kwargs)
+
+
+def _run_eqs(eqs, ctx, t, dt):
+    """Run every equation's loop; the runner tracks per-equation
+    writes so cross-equation read-after-write is detected (the same
+    code path runs during recording and inside the kernel)."""
+    r = ctx.runner
+    r.written_before = set()
+    for eq in eqs:
+        r.cur_written = set()
+        _bind_loop(eq.loop, ctx, t, dt)
+        r.written_before |= r.cur_written
+
+
+# ---------------------------------------------------------------------------
+# Recording pass
+# ---------------------------------------------------------------------------
+class _Recorder(object):
+    """Tiny-array dry run: discovers read/written props, accumulation
+    ops, and constants; raises PallasIneligible on anything the
+    kernel can't express."""
+
+    def __init__(self):
+        self.d_read = set()
+        self.s_read = set()
+        self.d_consts = OrderedDict()
+        self.s_consts = OrderedDict()
+        self.out_ops = OrderedDict()
+        self.written_before = set()
+        self.cur_written = set()
+        self.dmaskf = jnp.ones((2, 2), jnp.float32)
+        self.smaskf_cat = jnp.ones((2, 6), jnp.float32)
+        self.ctx = None
+
+    def dcol(self, prop):
+        self.d_read.add(prop)
+        return jnp.ones((2, 2), jnp.float32)
+
+    def scat(self, prop):
+        self.s_read.add(prop)
+        return jnp.ones((2, 6), jnp.float32)
+
+    def get_const(self, side, prop, key):
+        d = self.d_consts if side == 'd' else self.s_consts
+        d.setdefault(prop, set()).add(key)
+        return jnp.asarray(1.0, jnp.float32)
+
+    def accumulate(self, prop, op, contrib):
+        prev = self.out_ops.get(prop)
+        if prev is not None and prev != op:
+            raise PallasIneligible(
+                'mixed accumulation ops on %r' % prop)
+        self.out_ops[prop] = op
+        self.cur_written.add(prop)
+
+
+def _record(eqs, kernel, domain, radius_scale, dest_consts, src_consts):
+    _install_symbol_formulas()
+    rec = _Recorder()
+    ctx = PlanePairContext(rec, kernel, domain, radius_scale,
+                           dest_consts, src_consts)
+    rec.ctx = ctx
+    _run_eqs(eqs, ctx, 0.0, 1e-3)
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# Kernel runner
+# ---------------------------------------------------------------------------
+class _KernelRunner(object):
+    def __init__(self, dcols, scat_fn, dmaskf, smaskf_cat, consts):
+        self._dcols = dcols          # prop -> (nz, Md)
+        self._scat = scat_fn         # prop -> (nz, 3Ms)
+        self.dmaskf = dmaskf
+        self.smaskf_cat = smaskf_cat
+        self._consts = consts        # (side, prop) -> 1D array
+        self.acc = {}                # prop -> (op, (nz, Md))
+        self.written_before = set()
+        self.cur_written = set()
+        self.ctx = None
+
+    def dcol(self, prop):
+        return self._dcols[prop]
+
+    def scat(self, prop):
+        return self._scat(prop)
+
+    def get_const(self, side, prop, key):
+        return self._consts[(side, prop)][key]
+
+    def accumulate(self, prop, op, contrib):
+        self.cur_written.add(prop)
+        if prop in self.acc:
+            _, cur = self.acc[prop]
+            if op == 'sum':
+                cur = cur + contrib
+            elif op == 'max':
+                cur = jnp.maximum(cur, contrib)
+            else:
+                cur = jnp.minimum(cur, contrib)
+            self.acc[prop] = (op, cur)
+        else:
+            self.acc[prop] = (op, contrib)
+
+
+def _cat3z_halo(prev, cur, nxt):
+    """Lane-concat the 3 z-offset views of a (tz, M) tile using the
+    one-row halo from the adjacent z-tiles.  Out-of-range halo rows
+    (first/last tile) carry garbage that the global z edge mask
+    removes."""
+    tz = cur.shape[0]
+    halo = jnp.concatenate([prev[tz - 1:tz], cur, nxt[0:1]], axis=0)
+    # Mosaic requires matching sublane offsets on the non-concat dim;
+    # roll realigns the shifted windows to offset 0 before slicing.
+    up = halo[0:tz]
+    down = jnp.roll(halo, -2, axis=0)[0:tz]
+    return jnp.concatenate([up, cur, down], axis=-1)
+
+
+def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
+    """The pallas kernel: one (x, y, z-tile) cell block, one
+    x-offset."""
+    (nx, ny, nz, tz, Md, oys, d_props, d_const_list, s_props,
+     s_const_list, out_props) = meta
+    it = iter(refs)
+    scal = next(it)                  # (1, 2): t, dt
+    wm_ref = next(it)
+    dm_ref = next(it)
+    d_refs = {p: next(it) for p in d_props}
+    d_consts = {('d', p): next(it)[0] for p in d_const_list}
+    n_oy = len(oys)
+    sm_refs = [[next(it) for _ in range(3)] for _ in range(n_oy)]
+    s_refs = {p: [[next(it) for _ in range(3)] for _ in range(n_oy)]
+              for p in s_props}
+    s_consts = {('s', p): next(it)[0] for p in s_const_list}
+    out_refs = {p: next(it) for p in out_props}
+
+    t = scal[0, 0]
+    dt = scal[0, 1]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    zt = pl.program_id(2)
+    k = pl.program_id(3)
+    ox = k - 1
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    x_okf = jnp.where((i + ox >= 0) & (i + ox <= nx - 1), one, zero)
+    Ms = sm_refs[0][1].shape[-1]
+    zi = zt * tz + jax.lax.broadcasted_iota(jnp.int32, (tz, 1), 0)
+    z_edge = jnp.concatenate(
+        [jnp.broadcast_to(
+            jnp.where((zi + oz >= 0) & (zi + oz <= nz - 1), one, zero),
+            (tz, Ms))
+         for oz in (-1, 0, 1)], axis=-1)
+
+    dcols = {p: d_refs[p][0, 0] for p in d_props}
+    dmaskf = dm_ref[0, 0]
+    wmf = wm_ref[0, 0]
+    consts = {}
+    consts.update(d_consts)
+    consts.update(s_consts)
+
+    @pl.when(k == 0)
+    def _init():
+        # identity base; contributions accumulate below (the order of
+        # pl.when blocks is program order)
+        for prop in out_props:
+            out_refs[prop][0, 0] = dcols[prop]
+
+    # dest-occupancy skip: SPH geometries are sparse on the dense cell
+    # grid (fluid fills a corner, walls line the box), so whole blocks
+    # often have no writable dest slot — skip all pair work for them.
+    occ = jnp.sum(wmf * dmaskf) > 0.0
+
+    @pl.when(occ)
+    def _compute():
+        total = {}
+        for ty, oy in enumerate(oys):
+            y_okf = jnp.where((j + oy >= 0) & (j + oy <= ny - 1),
+                              one, zero)
+            scat_cache = {}
+
+            def scat(prop, _ty=ty):
+                if prop not in scat_cache:
+                    r3 = s_refs[prop][_ty]
+                    scat_cache[prop] = _cat3z_halo(
+                        r3[0][0, 0], r3[1][0, 0], r3[2][0, 0])
+                return scat_cache[prop]
+
+            m3 = sm_refs[ty]
+            smaskf_cat = (x_okf * y_okf * z_edge * _cat3z_halo(
+                m3[0][0, 0], m3[1][0, 0], m3[2][0, 0]))
+            runner = _KernelRunner(dcols, scat, dmaskf, smaskf_cat,
+                                   consts)
+            ctx = PlanePairContext(runner, kernel_obj, domain,
+                                   radius_scale, set(p for p in
+                                                     d_const_list),
+                                   set(p for p in s_const_list))
+            runner.ctx = ctx
+            _run_eqs(eqs, ctx, t, dt)
+            for prop, (op, val) in runner.acc.items():
+                if prop in total:
+                    top, tval = total[prop]
+                    if op == 'sum':
+                        tval = tval + val
+                    elif op == 'max':
+                        tval = jnp.maximum(tval, val)
+                    else:
+                        tval = jnp.minimum(tval, val)
+                    total[prop] = (top, tval)
+                else:
+                    total[prop] = (op, val)
+
+        for prop in out_props:
+            op, val = total[prop]
+            cur = out_refs[prop][0, 0]
+            if op == 'sum':
+                new = cur + wmf * val
+            elif op == 'max':
+                new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
+            else:
+                new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
+            out_refs[prop][0, 0] = new
+
+
+# ---------------------------------------------------------------------------
+# Launcher
+# ---------------------------------------------------------------------------
+def _static_eligible(eqs, dest_schema, src_schema):
+    for eq in eqs:
+        if getattr(eq, 'loop_all', None) is not None:
+            raise PallasIneligible('%s uses loop_all' % eq.name)
+        fn = getattr(eq, 'loop', None)
+        if fn is None:
+            continue
+        for arg in _method_args(fn):
+            if arg in _SPECIAL_ARGS or arg in _SYM_DEPS:
+                if arg == 'NBRS':
+                    raise PallasIneligible('NBRS iteration')
+                continue
+            if arg.startswith('d_'):
+                if dest_schema.strides.get(arg[2:], 1) != 1:
+                    raise PallasIneligible('strided %s' % arg)
+            elif arg.startswith('s_'):
+                if src_schema.strides.get(arg[2:], 1) != 1:
+                    raise PallasIneligible('strided %s' % arg)
+            else:
+                raise PallasIneligible('unknown arg %r' % arg)
+
+
+class _Plan(object):
+    """A validated pair phase ready to execute with the pallas
+    kernel."""
+
+    def __init__(self, eqs, rec, kernel_obj, domain, radius_scale):
+        self.eqs = eqs
+        self.rec = rec
+        self.kernel_obj = kernel_obj
+        self.domain = domain
+        self.radius_scale = radius_scale
+
+    def execute(self, dest_store, src_store, spec, write_mask, t, dt,
+                interpret=None):
+        _execute_plan(self, dest_store, src_store, spec, write_mask,
+                      t, dt, interpret)
+
+
+def plan_pair_phase(eqs, dest_store, src_store, spec, kernel_obj,
+                    domain, radius_scale):
+    """Validate the pair phase of ``eqs`` (one dest, one src) for
+    pallas execution.  Returns a _Plan (or None if there is nothing to
+    run); raises PallasIneligible — before any device-state writes —
+    if the phase can't be expressed, so the caller can fall back to
+    the XLA path cleanly."""
+    eqs = [eq for eq in eqs if getattr(eq, 'loop', None) is not None]
+    for eq in eqs:
+        if getattr(eq, 'loop_all', None) is not None:
+            raise PallasIneligible('%s uses loop_all' % eq.name)
+    if not eqs:
+        return None
+    if domain is not None and getattr(domain, 'is_periodic', False):
+        # domain arrays would be captured as kernel constants
+        raise PallasIneligible('periodic domain')
+    dest_schema = dest_store.schema
+    src_schema = src_store.schema
+    Ms = src_store.layout.slot_to_particle.shape[0] // spec.n_cells
+    if 3 * Ms > 512:
+        raise PallasIneligible('source cell capacity too large')
+    _static_eligible(eqs, dest_schema, src_schema)
+    rec = _record(eqs, kernel_obj, domain, radius_scale,
+                  set(dest_schema.consts), set(src_schema.consts))
+    if not rec.out_ops:
+        return None
+    for p in rec.out_ops:
+        if not jnp.issubdtype(dest_store[p].dtype, jnp.floating):
+            raise PallasIneligible('non-float accumulation on %r' % p)
+    return _Plan(eqs, rec, kernel_obj, domain, radius_scale)
+
+
+def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
+                  dt, interpret=None):
+    eqs = plan.eqs
+    rec = plan.rec
+    kernel_obj = plan.kernel_obj
+    domain = plan.domain
+    radius_scale = plan.radius_scale
+    dest_consts = set(dest_store.schema.consts)
+    src_consts = set(src_store.schema.consts)
+
+    nx, ny, nz = spec.dims
+    if nz == 1:
+        # 1D/2D grids: (nx, ny, 1, M) and (nx, 1, ny, M) are the same
+        # linear layout, so treat y as the lane-concat axis — each
+        # program then owns a whole (ny, Md, 3Ms) block instead of a
+        # degenerate (1, Md, 3Ms) one, and the grid shrinks from
+        # (nx, ny, 3) to (nx, 1, 3) programs.  The phantom middle-axis
+        # offsets are edge-masked like any out-of-range neighbor.
+        ny, nz = 1, ny
+    C = spec.n_cells
+    Md = dest_store.layout.slot_to_particle.shape[0] // C
+    Ms = src_store.layout.slot_to_particle.shape[0] // C
+
+    sym_args = set()
+    for eq in eqs:
+        sym_args.update(a for a in _method_args(eq.loop)
+                        if a in _SYM_DEPS)
+    dep_props = set(_XYZH)  # pair mask needs positions + h
+    for a in sym_args:
+        dep_props.update(_SYM_DEPS[a])
+    d_props = sorted((rec.d_read | set(rec.out_ops) | dep_props) -
+                     dest_consts)
+    s_props = sorted((rec.s_read | dep_props) - src_consts)
+    out_props = list(rec.out_ops)
+    fdt = dest_store['x'].dtype
+
+    # z-tile height: the traced pair block (tz, Md, 3Ms) spawns ~50
+    # live VMEM temporaries (Mosaic doesn't spill); keep them inside
+    # the 16 MB scoped budget.
+    def _pad(v, m):
+        return -(-v // m) * m
+
+    row_bytes = _pad(Md, 8) * _pad(3 * Ms, 128) * 4
+    tz = max(1, min(nz, int(12e6 // (50 * row_bytes))))
+    if tz < nz:
+        # multi-tile: the block z-dim must be a multiple of 8 (TPU
+        # tiling rule; a single full-height tile satisfies the
+        # equal-to-array-dim rule instead)
+        tz = max(8, (tz // 8) * 8)
+    n_zt = -(-nz // tz)
+    nz_p = n_zt * tz
+
+    def dblock(arr):
+        b = arr.reshape(nx, ny, nz, Md)
+        if nz_p != nz:
+            b = jnp.pad(b, ((0, 0), (0, 0), (0, nz_p - nz), (0, 0)))
+        return b
+
+    def sblock(arr):
+        b = arr.reshape(nx, ny, nz, Ms)
+        if nz_p != nz:
+            b = jnp.pad(b, ((0, 0), (0, 0), (0, nz_p - nz), (0, 0)))
+        return b
+
+    scal = jnp.stack([jnp.asarray(t, fdt),
+                      jnp.asarray(dt, fdt)]).reshape(1, 2)
+    wmf = dblock(jnp.where(write_mask, 1.0, 0.0).astype(fdt))
+    dmf = dblock(jnp.where(dest_store.layout.slot_mask, 1.0,
+                           0.0).astype(fdt))
+    smf = sblock(jnp.where(src_store.layout.slot_mask, 1.0,
+                           0.0).astype(fdt))
+
+    d_const_list = sorted(rec.d_consts)
+    s_const_list = sorted(rec.s_consts)
+
+    dest_spec = pl.BlockSpec((1, 1, tz, Md), lambda i, j, zt, k:
+                             (i, j, zt, 0))
+    const_map = lambda i, j, zt, k: (0, 0)  # noqa: E731
+
+    def _src_map(i, j, zt, k, oy, ozt):
+        return (jnp.clip(i + k - 1, 0, nx - 1),
+                jnp.clip(j + oy, 0, ny - 1),
+                jnp.clip(zt + ozt, 0, n_zt - 1), 0)
+
+    # singleton y axis (1D/2D after the axis swap): the oy = +-1
+    # passes are fully edge-masked, skip them statically
+    oys = (0,) if ny == 1 else (-1, 0, 1)
+    src_specs = [[pl.BlockSpec(
+        (1, 1, tz, Ms),
+        functools.partial(_src_map, oy=oy, ozt=ozt))
+        for ozt in (-1, 0, 1)] for oy in oys]
+
+    ins = [scal, wmf, dmf]
+    in_specs = [
+        pl.BlockSpec((1, 2), const_map),
+        dest_spec, dest_spec,
+    ]
+    for p in d_props:
+        ins.append(dblock(dest_store[p]))
+        in_specs.append(dest_spec)
+    for p in d_const_list:
+        c = jnp.asarray(dest_store[p]).reshape(1, -1)
+        ins.append(c)
+        in_specs.append(pl.BlockSpec(c.shape, const_map))
+    for ty in range(len(oys)):
+        for ozt in range(3):
+            ins.append(smf)
+            in_specs.append(src_specs[ty][ozt])
+    for p in s_props:
+        sb = sblock(src_store[p])
+        for ty in range(len(oys)):
+            for ozt in range(3):
+                ins.append(sb)
+                in_specs.append(src_specs[ty][ozt])
+    for p in s_const_list:
+        c = jnp.asarray(src_store[p]).reshape(1, -1)
+        ins.append(c)
+        in_specs.append(pl.BlockSpec(c.shape, const_map))
+
+    out_specs = [dest_spec for _ in out_props]
+    out_shape = [jax.ShapeDtypeStruct((nx, ny, nz_p, Md),
+                                      dest_store[p].dtype)
+                 for p in out_props]
+
+    meta = (nx, ny, nz, tz, Md, oys, tuple(d_props),
+            tuple(d_const_list), tuple(s_props), tuple(s_const_list),
+            tuple(out_props))
+    kern = functools.partial(_pair_kernel, eqs, kernel_obj, domain,
+                             radius_scale, meta)
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+    outs = pl.pallas_call(
+        kern, grid=(nx, ny, n_zt, 3), in_specs=in_specs,
+        out_specs=out_specs, out_shape=out_shape,
+        interpret=interpret)(*ins)
+    for p, out in zip(out_props, outs):
+        out = out[:, :, :nz, :] if nz_p != nz else out
+        dest_store[p] = out.reshape(C * Md)

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from pysph_tpu.base.cell_grid import (
-    GridLayout, GridSpec, StencilView, build_layout, from_slots, to_slots)
+    GridLayout, GridSpec, StencilView, build_layout, from_slots,
+    from_slots_many, to_slots, to_slots_many)
 from pysph_tpu.base.particle_array import ParticleTAGS
 from pysph_tpu.sph.equation import (
     ArrayView, Equation, Group, IndexSym, MultiStageEquations, SymVec,
@@ -100,7 +101,21 @@ class SlotStore(object):
         if key in self._consts:
             return self.flat[key]
         if key not in self.cache:
-            self.cache[key] = to_slots(self.layout, self.flat[key])
+            arr = self.flat[key]
+            if arr.ndim == 1:
+                # batch-convert every uncached 1D prop of this dtype:
+                # one (cap, P) row gather beats P near-scalar gathers
+                # ~7x on TPU (to_slots_many)
+                group = [k for k, v in self.flat.items()
+                         if k not in self._consts and
+                         k not in self.cache and v.ndim == 1 and
+                         v.dtype == arr.dtype]
+                outs = to_slots_many(self.layout,
+                                     [self.flat[k] for k in group])
+                for k, o in zip(group, outs):
+                    self.cache[k] = o
+            else:
+                self.cache[key] = to_slots(self.layout, arr)
         return self.cache[key]
 
     def __setitem__(self, key, value):
@@ -112,9 +127,20 @@ class SlotStore(object):
 
     def finalize(self):
         """Fold dirty slot arrays back; returns the flat state dict."""
+        groups = {}
         for key in self.dirty:
-            self.flat[key] = from_slots(self.layout, self.cache[key],
-                                        self.flat[key])
+            s = self.cache[key]
+            f = self.flat[key]
+            if s.ndim == 1 and f.ndim == 1:
+                groups.setdefault(s.dtype, []).append(key)
+            else:
+                self.flat[key] = from_slots(self.layout, s, f)
+        for keys in groups.values():
+            outs = from_slots_many(
+                self.layout, [self.cache[k] for k in keys],
+                [self.flat[k] for k in keys])
+            for k, o in zip(keys, outs):
+                self.flat[k] = o
         self.dirty = set()
         return self.flat
 
@@ -859,6 +885,29 @@ class AccelerationEval(object):
                 mask = mask & (pid < stop)
         return mask
 
+    def _pallas_plan(self, src_eqs, store, src_store, handle):
+        """Try to plan this (dest, src) pair phase for the fused
+        pallas kernel (ops/pallas_engine.py); None = use the XLA
+        path."""
+        from pysph_tpu.config import get_config
+        if not getattr(get_config(), 'use_pallas', False):
+            return None
+        if not isinstance(store, SlotStore) or not isinstance(
+                src_store, SlotStore):
+            return None
+        from pysph_tpu.ops.pallas_engine import (
+            PallasIneligible, plan_pair_phase)
+        try:
+            return plan_pair_phase(
+                src_eqs, store, src_store, handle.spec, self.kernel,
+                self.domain, self.grid_spec.radius_scale)
+        except PallasIneligible as e:
+            import logging
+            logging.getLogger(__name__).info(
+                'pallas fallback for %s <- %s: %s',
+                src_eqs[0].dest, src_store.schema.name, e)
+            return None
+
     def _run_group_once(self, group, t, dt, stores, handle):
         if group.has_subgroups:
             for sub in group.equations:
@@ -897,10 +946,8 @@ class AccelerationEval(object):
                     sources.setdefault(src, []).append(eq)
             for src, src_eqs in sources.items():
                 src_store = stores[src]
-                stencil = StencilView(handle.spec, src_store.layout)
-                ctx = GridPairContext(
-                    store, src_store, stencil, kernel, self.domain,
-                    self.grid_spec.radius_scale, write_mask)
+                plan = self._pallas_plan(src_eqs, store, src_store,
+                                         handle)
                 for eq in src_eqs:
                     fn = getattr(eq, 'initialize_pair', None)
                     if fn is not None:
@@ -908,6 +955,15 @@ class AccelerationEval(object):
                             fn, store, schema, write_mask, t, dt,
                             kernel, src_store=src_store,
                             src_schema=self.schemas[src])
+                if plan is not None:
+                    plan.execute(store, src_store, handle.spec,
+                                 write_mask, t, dt)
+                    continue
+                stencil = StencilView(handle.spec, src_store.layout)
+                ctx = GridPairContext(
+                    store, src_store, stencil, kernel, self.domain,
+                    self.grid_spec.radius_scale, write_mask)
+                for eq in src_eqs:
                     fn = getattr(eq, 'loop', None)
                     if fn is not None:
                         _bind_pair_phase(fn, ctx, t, dt)

@@ -1,0 +1,137 @@
+"""Parity tests for the pallas pair-phase executor
+(ops/pallas_engine.py): the same AccelerationEval must produce the
+same accelerations with the pallas kernel (interpret mode) as with
+the XLA roll engine."""
+
+import numpy as np
+import pytest
+
+from pysph_tpu.config import get_config
+
+
+def _make_eval(dim, pas, equations, kernel):
+    from pysph_tpu.base.cell_grid import GridSpec
+    from pysph_tpu.sph.acceleration_eval import AccelerationEval
+    a_eval = AccelerationEval(pas, equations, kernel)
+    a_eval.set_nnps(GridSpec.from_particles(
+        pas, dim=dim, radius_scale=kernel.radius_scale))
+    return a_eval
+
+
+def _run(a_eval, states):
+    import jax
+    out, _ = jax.jit(
+        lambda s: a_eval.update_and_compute(0.1, 1e-4, s))(states)
+    return out
+
+
+def _compare(dim, pas, equations, kernel, props):
+    states = {}
+    for pa in pas:
+        state, _ = pa.to_device()
+        states[pa.name] = state
+    cfg = get_config()
+    a_eval = _make_eval(dim, pas, equations, kernel)
+    assert not cfg.use_pallas
+    ref = _run(a_eval, states)
+    cfg.use_pallas = True
+    try:
+        got = _run(_make_eval(dim, pas, equations, kernel), states)
+    finally:
+        cfg.use_pallas = False
+    for name in ref:
+        for p in props:
+            if p not in ref[name]:
+                continue
+            a = np.asarray(ref[name][p])
+            b = np.asarray(got[name][p])
+            scale = max(np.abs(a).max(), 1e-12)
+            err = np.abs(a - b).max() / scale
+            assert err < 5e-5, (name, p, err)
+
+
+def _wcsph_fluid(dim, n=200, seed=3, name='fluid'):
+    from pysph_tpu.base.utils import get_particle_array_wcsph
+    rng = np.random.RandomState(seed)
+    dx = 0.1
+    pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    if dim < 3:
+        pts[:, 2] = 0.0
+    if dim < 2:
+        pts[:, 1] = 0.0
+    pa = get_particle_array_wcsph(
+        name=name, x=pts[:, 0], y=pts[:, 1], z=pts[:, 2],
+        u=0.1 * rng.randn(n), v=0.1 * rng.randn(n),
+        w=0.1 * rng.randn(n) * (dim == 3),
+        m=np.full(n, dx ** dim), rho=1 + 0.01 * rng.randn(n),
+        h=np.full(n, 1.3 * dx), cs=np.full(n, 10.0))
+    pa.p[:] = 1 + 0.1 * rng.randn(n)
+    return pa
+
+
+@pytest.mark.parametrize('dim', [2, 3])
+def test_wcsph_group_parity(dim):
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.sph.basic_equations import (
+        ContinuityEquation, XSPHCorrection)
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.basic import MomentumEquation
+
+    pa = _wcsph_fluid(dim)
+    equations = [Group(equations=[
+        ContinuityEquation('fluid', ['fluid']),
+        MomentumEquation('fluid', ['fluid'], c0=10.0, alpha=0.1,
+                         beta=0.0),
+        XSPHCorrection('fluid', ['fluid']),
+    ])]
+    _compare(dim, [pa], equations, CubicSpline(dim=dim),
+             ('arho', 'au', 'av', 'aw', 'ax', 'ay', 'az'))
+
+
+def test_multi_array_parity():
+    """fluid + boundary sources (the dam-break structure)."""
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.sph.basic_equations import ContinuityEquation
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.basic import MomentumEquation
+
+    fluid = _wcsph_fluid(3, n=150, seed=1)
+    solid = _wcsph_fluid(3, n=100, seed=2, name='boundary')
+    equations = [Group(equations=[
+        ContinuityEquation('fluid', ['fluid', 'boundary']),
+        MomentumEquation('fluid', ['fluid', 'boundary'], c0=10.0,
+                         alpha=0.1, beta=0.0),
+    ])]
+    _compare(3, [fluid, solid], equations, CubicSpline(dim=3),
+             ('arho', 'au', 'av', 'aw'))
+
+
+def test_summation_density_parity():
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.sph.basic_equations import SummationDensity
+    from pysph_tpu.sph.equation import Group
+
+    pa = _wcsph_fluid(2)
+    equations = [Group(equations=[SummationDensity('fluid',
+                                                   ['fluid'])])]
+    _compare(2, [pa], equations, CubicSpline(dim=2), ('rho',))
+
+
+def test_max_accumulation_parity():
+    """MAX-marker accumulation (dt_cfl) goes through the min/max
+    combine path."""
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.basic import (
+        MomentumEquation, TaitEOS)
+
+    pa = _wcsph_fluid(2)
+    equations = [
+        Group(equations=[TaitEOS('fluid', None, rho0=1.0, c0=10.0,
+                                 gamma=7.0)], real=False),
+        Group(equations=[MomentumEquation(
+            'fluid', ['fluid'], c0=10.0, alpha=0.1, beta=0.0,
+            tensile_correction=True)]),
+    ]
+    _compare(2, [pa], equations, CubicSpline(dim=2),
+             ('au', 'av', 'dt_cfl'))
