@@ -73,6 +73,9 @@ class Solver(object):
         self.states = None
         self._step_fn = None
         self._adapt_fn = None
+        # steps per device dispatch in the steady-state solve loop
+        # (amortizes the ~28 ms host round trip per scalar fetch)
+        self.chunk_steps = 10
         for key, value in kw.items():
             setattr(self, key, value)
 
@@ -167,6 +170,74 @@ class Solver(object):
             return integ.compute_time_step(sp_unpack(blob), dt,
                                            self.cfl)
 
+        # K steps per dispatch: the host pays one scalar fetch per
+        # chunk instead of one (or two) ~28 ms round trips per step.
+        # Time accumulates on device in compensated (Kahan) f32 so the
+        # sum matches host-f64 accumulation to a few ulps.
+        K = self.chunk_steps
+        adaptive = self.adaptive_timestep
+        cfl = self.cfl
+
+        def chunkp(blob, cblob, th, tl, dt0, t_stop, n_real):
+            import jax.numpy as jnp
+
+            def one_step(args):
+                blob, cblob, t, dt = args
+                s2, diag, c2 = integ.step(sp_unpack(blob), t, dt,
+                                          cp_unpack(cblob))
+                return (sp_pack(s2), cp_pack(c2),
+                        diag['cell_overflow'],
+                        diag['extent_overflow'])
+
+            def skip(args):
+                blob, cblob, _t, _dt = args
+                return (blob, cblob, jnp.asarray(False),
+                        jnp.asarray(False))
+
+            def body(carry, idx):
+                blob, cblob, th, tl, dt, dt_un, oc, oe, nd = carry
+                active = (dt > 0.0) & (idx < n_real)
+                blob, cblob, c_ovf, e_ovf = jax.lax.cond(
+                    active, one_step, skip, (blob, cblob, th + tl,
+                                             dt))
+                # Kahan: th + tl is the true time; only advance it on
+                # real steps
+                y = jnp.where(active, dt, 0.0) + tl
+                t2 = th + y
+                tl2 = y - (t2 - th)
+                th2 = t2
+                if adaptive:
+                    raw = jnp.asarray(integ.compute_time_step(
+                        sp_unpack(blob), dt, cfl), dt.dtype)
+                else:
+                    raw = dt
+                rem = t_stop - (th2 + tl2)
+                dtn = jnp.minimum(raw, jnp.maximum(rem, 0.0))
+                dtn = jnp.where(rem > 1e-6 * jnp.maximum(dt, dt0),
+                                dtn, 0.0)
+                # inactive iterations carry dt through so the host
+                # gets the correct next-step dt back; dt_un is the
+                # uncapped dt for resuming after an output-time stop
+                dtn = jnp.where(active, dtn, dt)
+                dt_un = jnp.where(active, raw, dt_un)
+                return (blob, cblob, th2, tl2, dtn, dt_un, oc | c_ovf,
+                        oe | e_ovf, nd + active.astype(jnp.int32)), 0
+
+            fdt = th.dtype
+            init = (blob, cblob, th, tl, jnp.asarray(dt0, fdt),
+                    jnp.asarray(dt0, fdt), jnp.asarray(False),
+                    jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            (blob, cblob, th, tl, dtn, dt_un, oc, oe, nd), _ = \
+                jax.lax.scan(body, init, jnp.arange(K))
+            scal = jnp.stack([th.astype(jnp.float32),
+                              tl.astype(jnp.float32),
+                              dtn.astype(jnp.float32),
+                              nd.astype(jnp.float32),
+                              oc.astype(jnp.float32),
+                              oe.astype(jnp.float32),
+                              dt_un.astype(jnp.float32)])
+            return blob, cblob, scal
+
         self._packed = {
             'sp_pack': jax.jit(sp_pack),
             'sp_unpack': jax.jit(sp_unpack),
@@ -174,6 +245,7 @@ class Solver(object):
             'dp_unpack': dp_unpack,
             'step': jax.jit(stepp),
             'adapt': jax.jit(adaptp),
+            'chunk': jax.jit(chunkp),
         }
 
     def _enter_packed(self, carry):
@@ -285,16 +357,97 @@ class Solver(object):
         if self._packed_eligible():
             self._enter_packed(self._nnps_carry)
 
+        K = self.chunk_steps
         while ((self.tf - self.t) > self._epsilon and
                self.count < self.max_steps):
             for callback in self.pre_step_callbacks:
                 callback(self)
 
+            chunkable = (
+                self._blob is not None and K > 1 and
+                self.count >= self.n_damp and
+                self.execute_commands is None and
+                self._prev_dt is None)
+            if chunkable:
+                # land exactly on the next dump / output-time /
+                # max_steps boundary; K stays static (no recompile),
+                # extra iterations no-op via the in-chunk mask
+                n_real = min(K, self.pfreq - self.count % self.pfreq,
+                             self.max_steps - self.count)
+                t_stop = self.tf
+                if len(self.output_at_times):
+                    fut = self.output_at_times[
+                        self.output_at_times > self.t +
+                        1e-10 * self.tf]
+                    if len(fut):
+                        t_stop = min(t_stop, float(np.min(fut)))
+                th = np.float32(self.t)
+                tl = np.float32(self.t - float(th))
+                pre_blob, pre_cblob = self._blob, self._cblob
+                blob, cblob, scal = self._packed['chunk'](
+                    self._blob, self._cblob, th, tl,
+                    np.float32(self.dt), np.float32(t_stop),
+                    np.int32(n_real))
+                scal = np.asarray(scal)  # ONE host round trip
+                if scal[4] > 0 or scal[5] > 0:
+                    # overflow somewhere in the chunk: grow the grid
+                    # and redo from the saved pre-chunk state,
+                    # per-step (the packed carry shape changed).
+                    self._blob = pre_blob
+                    self._cblob = pre_cblob
+                    self._exit_packed()
+                    pre_states = self.states
+                    self._handle_overflow(
+                        {'cell_overflow': bool(scal[4]),
+                         'extent_overflow': bool(scal[5])})
+                    new_states, diag, carry = self._step_fn(
+                        pre_states, self.t, self.dt, None)
+                    self.states = new_states
+                    self._nnps_carry = carry
+                    self._enter_packed(carry)
+                    self.t += self.dt
+                    self.count += 1
+                    self._epsilon = EPSILON * self.tf * self.count
+                    self.dt = self._get_timestep()
+                    self._dump_output_if_needed()
+                    bar.update(self.t)
+                    continue
+                self._blob = blob
+                self._cblob = cblob
+                n_done = int(scal[3])
+                self.t = float(scal[0]) + float(scal[1])
+                self.count += n_done
+                self._epsilon = EPSILON * self.tf * self.count
+                self.dt = float(scal[2])
+                stopped = n_done < n_real or self.dt <= 0.0
+                if stopped and t_stop < self.tf - self._epsilon:
+                    # landed on an output time (within f32 rounding;
+                    # the last dt was chosen to land exactly)
+                    self.t = t_stop
+                    self.dump_output()
+                    self.dt = float(scal[6])
+                    bar.update(self.t)
+                    continue
+                self._dump_output_if_needed()
+                bar.update(self.t)
+                if stopped:
+                    break  # hit tf inside the chunk
+                continue
+
             if self._blob is not None:
                 pre_blob = self._blob
                 blob, dblob, cblob = self._packed['step'](
                     self._blob, self.t, self.dt, self._cblob)
-                diag = self._packed['dp_unpack'](dblob)
+                # fetch the diag blob(s) once: bool() on each flag
+                # separately would cost one ~28 ms round trip each
+                dblob = {k: np.asarray(v) for k, v in dblob.items()}
+                if any(v.any() for v in dblob.values()):
+                    diag = jax.tree_util.tree_map(
+                        lambda a: bool(np.asarray(a)),
+                        self._packed['dp_unpack'](dblob))
+                else:
+                    diag = {'cell_overflow': False,
+                            'extent_overflow': False}
                 if self._check_overflow(diag):
                     # grow capacities, re-jit, and redo the step from
                     # the saved pre-step state.

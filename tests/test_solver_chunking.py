@@ -1,0 +1,52 @@
+"""The chunked solve loop (K steps per device dispatch,
+solver.py chunk_steps) must march the same trajectory as the
+per-step loop."""
+
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+
+def _run(chunk_steps, steps=25, output_at=()):
+    from pysph_tpu.examples.elliptical_drop import EllipticalDrop
+    tmpdir = tempfile.mkdtemp()
+    old_argv = sys.argv
+    try:
+        sys.argv = ['elliptical_drop']
+        app = EllipticalDrop()
+        app.setup(['--nx', '20', '--max-steps', str(steps), '-q',
+                   '--disable-output', '-d', tmpdir])
+        app.solver.chunk_steps = chunk_steps
+        # keep every chunk inside max_steps so the chunked path runs
+        app.solver.set_max_steps(steps)
+        app.solver.set_output_at_times(list(output_at))
+        app.solve()
+        pa = app.particles[0]
+        return (app.solver.t, app.solver.count, np.asarray(pa.x),
+                np.asarray(pa.u), np.asarray(pa.rho))
+    finally:
+        sys.argv = old_argv
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def test_chunked_matches_per_step():
+    t1, c1, x1, u1, r1 = _run(chunk_steps=1)
+    t5, c5, x5, u5, r5 = _run(chunk_steps=5)
+    assert c1 == c5 == 25
+    assert abs(t1 - t5) < 1e-9 * max(t1, 1e-30)
+    assert np.allclose(x1, x5, rtol=1e-5, atol=1e-7)
+    assert np.allclose(u1, u5, rtol=1e-4, atol=1e-5)
+    assert np.allclose(r1, r5, rtol=1e-5, atol=1e-7)
+
+
+def test_chunked_lands_on_output_times():
+    # an output time mid-run: the chunk must stop there exactly and
+    # resume, marching the same physics as the per-step dt-landing
+    t_out = 1.1e-5
+    t1, c1, x1, u1, r1 = _run(chunk_steps=1, output_at=(t_out,))
+    t5, c5, x5, u5, r5 = _run(chunk_steps=8, output_at=(t_out,))
+    assert abs(t1 - t5) < 1e-8 * max(t1, 1e-30)
+    assert np.allclose(x1, x5, rtol=1e-4, atol=1e-6)
+    assert np.allclose(u1, u5, rtol=1e-3, atol=1e-4)
