@@ -27,18 +27,21 @@ caller falls back to the XLA path.  Semantics parity notes:
 - Reads of a dest property return its value *before the pair phase*
   (the delta-subtraction convention), so ``d_x[d_idx] + expr``
   self-accumulation is exact.  An equation reading a property that an
-  *earlier* equation of the same pair phase accumulates would observe
-  a different (pre-accumulation) value than under the XLA engine —
-  detected and rejected.
+  *earlier* equation of the same pair phase accumulates observes the
+  pre-accumulation value; the recording pass numerically probes that
+  such reads are only used as the additive base of a ``+=`` (for
+  which the convention is exact) and rejects the phase otherwise.
 - The write mask (``real`` groups, start/stop idx) gates the final
   combine exactly like GridPairDest (acceleration_eval.py:176).
 """
 
 import functools
+import zlib
 from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 from pysph_tpu.sph.equation import (
@@ -84,10 +87,7 @@ class PlanePairDest(object):
                 'fixed-index read of non-constant %r' % self.name)
         if key.mul != 1:
             raise PallasIneligible('strided read of %r' % self.name)
-        if self.name in r.written_before:
-            raise PallasIneligible(
-                'cross-equation read-after-write of %r' % self.name)
-        return r.dcol(self.name)[:, :, None]
+        return r.dread(self.name)[:, :, None]
 
     def __setitem__(self, key, value):
         r = self.runner
@@ -97,7 +97,7 @@ class PlanePairDest(object):
         if key.mul != 1:
             raise PallasIneligible('strided write of %r' % self.name)
         ctx = r.ctx
-        col = r.dcol(self.name)            # (nz, Md)
+        col = r.dread(self.name)           # (nz, Md)
         maskf = ctx.pair_maskf             # (nz, Md, 3Ms)
         mask = maskf > 0.0
         if isinstance(value, _AccumMax):
@@ -164,7 +164,11 @@ class PlanePairContext(object):
         self._pair_maskf = None
 
     def dget(self, prop):
-        return self.runner.dcol(prop)[:, :, None]
+        # dread: reads of props accumulated by an earlier equation of
+        # this phase return the pre-phase value in the kernel; the
+        # recording pass probes that this is equivalent (additive-only
+        # usage) and rejects the phase otherwise.
+        return self.runner.dread(prop)[:, :, None]
 
     def sget(self, prop):
         return self.runner.scat(prop)[:, None, :]
@@ -265,14 +269,35 @@ def _run_eqs(eqs, ctx, t, dt):
 # ---------------------------------------------------------------------------
 # Recording pass
 # ---------------------------------------------------------------------------
+def _prop_values(prop, n, ramp):
+    """Deterministic, non-degenerate per-prop sample values so the
+    recording pass exercises real arithmetic (all-ones inputs zero out
+    XIJ/DWIJ and would blind the linearity probe below)."""
+    h = zlib.crc32(prop.encode()) % 89
+    base = 0.7 + h / 89.0
+    return jnp.asarray(base + ramp * np.arange(1, n + 1,
+                                               dtype=np.float32))
+
+
 class _Recorder(object):
     """Tiny-array dry run: discovers read/written props, accumulation
     ops, and constants; raises PallasIneligible on anything the
-    kernel can't express."""
+    kernel can't express.
 
-    def __init__(self):
+    ``perturb``: offset added to reads of props already accumulated in
+    this phase (``dread`` of a written prop).  The in-kernel execution
+    returns the *pre-phase* value for such reads (the delta-subtraction
+    convention), which is exact iff the read is only used as the
+    additive base of a ``d_p[d_idx] += expr``.  Recording runs twice
+    (perturb 0 and != 0); any contribution that shifts with the
+    perturbation used the read non-additively -> fall back."""
+
+    def __init__(self, perturb=0.0):
+        self.perturb = perturb
         self.d_read = set()
         self.s_read = set()
+        self.raw_reads = set()
+        self.contribs = []
         self.d_consts = OrderedDict()
         self.s_consts = OrderedDict()
         self.out_ops = OrderedDict()
@@ -284,11 +309,17 @@ class _Recorder(object):
 
     def dcol(self, prop):
         self.d_read.add(prop)
-        return jnp.ones((2, 2), jnp.float32)
+        return _prop_values(prop, 4, 0.05).reshape(2, 2)
+
+    def dread(self, prop):
+        if prop in self.written_before or prop in self.cur_written:
+            self.raw_reads.add(prop)
+            return self.dcol(prop) + jnp.float32(self.perturb)
+        return self.dcol(prop)
 
     def scat(self, prop):
         self.s_read.add(prop)
-        return jnp.ones((2, 6), jnp.float32)
+        return _prop_values(prop, 12, 0.03).reshape(2, 6)
 
     def get_const(self, side, prop, key):
         d = self.d_consts if side == 'd' else self.s_consts
@@ -302,15 +333,53 @@ class _Recorder(object):
                 'mixed accumulation ops on %r' % prop)
         self.out_ops[prop] = op
         self.cur_written.add(prop)
+        self.contribs.append((prop, op, np.asarray(contrib)))
 
 
-def _record(eqs, kernel, domain, radius_scale, dest_consts, src_consts):
-    _install_symbol_formulas()
-    rec = _Recorder()
+def _record_once(eqs, kernel, domain, radius_scale, dest_consts,
+                 src_consts, perturb):
+    rec = _Recorder(perturb)
     ctx = PlanePairContext(rec, kernel, domain, radius_scale,
                            dest_consts, src_consts)
     rec.ctx = ctx
     _run_eqs(eqs, ctx, 0.0, 1e-3)
+    return rec
+
+
+def _record(eqs, kernel, domain, radius_scale, dest_consts,
+            src_consts):
+    # plan_pair_phase runs while the caller's step is being traced;
+    # the recording uses only concrete inputs, so evaluate it eagerly
+    # (the linearity probe below needs concrete contributions).  Pin
+    # the tiny eager ops to the host CPU: through a remote-dispatch
+    # TPU tunnel each one costs ~0.5 s (measured 205 s/record on the
+    # device vs 1.5 s on CPU).
+    cpu = jax.local_devices(backend='cpu')[0]
+    with jax.ensure_compile_time_eval(), jax.default_device(cpu):
+        return _record_concrete(eqs, kernel, domain, radius_scale,
+                                dest_consts, src_consts)
+
+
+def _record_concrete(eqs, kernel, domain, radius_scale, dest_consts,
+                     src_consts):
+    _install_symbol_formulas()
+    rec = _record_once(eqs, kernel, domain, radius_scale, dest_consts,
+                       src_consts, 0.0)
+    if rec.raw_reads:
+        rec2 = _record_once(eqs, kernel, domain, radius_scale,
+                            dest_consts, src_consts, 0.731)
+        ok = len(rec.contribs) == len(rec2.contribs)
+        if ok:
+            for (p1, o1, c1), (p2, o2, c2) in zip(rec.contribs,
+                                                  rec2.contribs):
+                if (p1 != p2 or o1 != o2 or not np.allclose(
+                        c1, c2, rtol=1e-4, atol=1e-5, equal_nan=True)):
+                    ok = False
+                    break
+        if not ok:
+            raise PallasIneligible(
+                'non-additive cross-equation read of %s'
+                % sorted(rec.raw_reads))
     return rec
 
 
@@ -330,6 +399,12 @@ class _KernelRunner(object):
         self.ctx = None
 
     def dcol(self, prop):
+        return self._dcols[prop]
+
+    def dread(self, prop):
+        # reads always see the pre-phase value; the recording probe
+        # guaranteed that post-write reads are additive-only, for
+        # which the delta-subtraction accumulation is exact.
         return self._dcols[prop]
 
     def scat(self, prop):
@@ -353,24 +428,10 @@ class _KernelRunner(object):
             self.acc[prop] = (op, contrib)
 
 
-def _cat3z_halo(prev, cur, nxt):
-    """Lane-concat the 3 z-offset views of a (tz, M) tile using the
-    one-row halo from the adjacent z-tiles.  Out-of-range halo rows
-    (first/last tile) carry garbage that the global z edge mask
-    removes."""
-    tz = cur.shape[0]
-    halo = jnp.concatenate([prev[tz - 1:tz], cur, nxt[0:1]], axis=0)
-    # Mosaic requires matching sublane offsets on the non-concat dim;
-    # roll realigns the shifted windows to offset 0 before slicing.
-    up = halo[0:tz]
-    down = jnp.roll(halo, -2, axis=0)[0:tz]
-    return jnp.concatenate([up, cur, down], axis=-1)
-
-
 def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
     """The pallas kernel: one (x, y, z-tile) cell block, one
     x-offset."""
-    (nx, ny, nz, tz, Md, oys, d_props, d_const_list, s_props,
+    (nx, ny, nz, tz, Md, oys, kper, d_props, d_const_list, s_props,
      s_const_list, out_props) = meta
     it = iter(refs)
     scal = next(it)                  # (1, 2): t, dt
@@ -395,14 +456,22 @@ def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
 
-    x_okf = jnp.where((i + ox >= 0) & (i + ox <= nx - 1), one, zero)
+    if kper[0]:
+        x_okf = one
+    else:
+        x_okf = jnp.where((i + ox >= 0) & (i + ox <= nx - 1), one,
+                          zero)
     Ms = sm_refs[0][1].shape[-1]
-    zi = zt * tz + jax.lax.broadcasted_iota(jnp.int32, (tz, 1), 0)
-    z_edge = jnp.concatenate(
-        [jnp.broadcast_to(
-            jnp.where((zi + oz >= 0) & (zi + oz <= nz - 1), one, zero),
-            (tz, Ms))
-         for oz in (-1, 0, 1)], axis=-1)
+    if kper[2]:
+        z_edge = jnp.ones((tz, 3 * Ms), jnp.float32)
+    else:
+        zi = zt * tz + jax.lax.broadcasted_iota(jnp.int32, (tz, 1), 0)
+        z_edge = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.where((zi + oz >= 0) & (zi + oz <= nz - 1), one,
+                          zero),
+                (tz, Ms))
+             for oz in (-1, 0, 1)], axis=-1)
 
     dcols = {p: d_refs[p][0, 0] for p in d_props}
     dmaskf = dm_ref[0, 0]
@@ -427,20 +496,27 @@ def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
     def _compute():
         total = {}
         for ty, oy in enumerate(oys):
-            y_okf = jnp.where((j + oy >= 0) & (j + oy <= ny - 1),
-                              one, zero)
+            if kper[1]:
+                y_okf = one
+            else:
+                y_okf = jnp.where((j + oy >= 0) & (j + oy <= ny - 1),
+                                  one, zero)
             scat_cache = {}
 
+            # the 3 z-offset views were pre-shifted by jnp.roll outside
+            # the kernel (cyclic, so periodic wrap is free; out-of-range
+            # rows on non-periodic axes are edge-masked) — plain
+            # lane-concat here, no sublane realignment needed.
             def scat(prop, _ty=ty):
                 if prop not in scat_cache:
                     r3 = s_refs[prop][_ty]
-                    scat_cache[prop] = _cat3z_halo(
-                        r3[0][0, 0], r3[1][0, 0], r3[2][0, 0])
+                    scat_cache[prop] = jnp.concatenate(
+                        [r[0, 0] for r in r3], axis=-1)
                 return scat_cache[prop]
 
             m3 = sm_refs[ty]
-            smaskf_cat = (x_okf * y_okf * z_edge * _cat3z_halo(
-                m3[0][0, 0], m3[1][0, 0], m3[2][0, 0]))
+            smaskf_cat = (x_okf * y_okf * z_edge * jnp.concatenate(
+                [r[0, 0] for r in m3], axis=-1))
             runner = _KernelRunner(dcols, scat, dmaskf, smaskf_cat,
                                    consts)
             ctx = PlanePairContext(runner, kernel_obj, domain,
@@ -499,6 +575,41 @@ def _static_eligible(eqs, dest_schema, src_schema):
                 raise PallasIneligible('unknown arg %r' % arg)
 
 
+def _pad_up(v, m):
+    return -(-v // m) * m
+
+
+def _tiling(spec, Md, Ms):
+    """Grid/tile geometry shared by plan (validation) and execute.
+
+    Returns (nx, ny, nz, kper, tz, n_zt, nz_p) where kper are the
+    periodic-wrap flags of the *kernel* axes (after the 1D/2D axis
+    swap).  Axes with <3 cells never wrap: 1-cell periodic axes are
+    correct under the edge mask (only the 0 offset survives, matching
+    the XLA path's (0,) offset list) and 2-cell ones were rejected in
+    plan_pair_phase."""
+    nx, ny, nz = spec.dims
+    per = spec.periodic
+    kper = tuple(per[d] and spec.dims[d] >= 3 for d in range(3))
+    if nz == 1:
+        # 1D/2D axis swap (see _execute_plan)
+        ny, nz = 1, ny
+        kper = (kper[0], kper[2], kper[1])
+    # z-tile height: the traced pair block (tz, Md, 3Ms) spawns ~50
+    # live VMEM temporaries (Mosaic doesn't spill); keep them inside
+    # the 16 MB scoped budget.
+    row_bytes = _pad_up(Md, 8) * _pad_up(3 * Ms, 128) * 4
+    tz = max(1, min(nz, int(12e6 // (50 * row_bytes))))
+    if tz < nz:
+        # multi-tile: the block z-dim must be a multiple of 8 (TPU
+        # tiling rule; a single full-height tile satisfies the
+        # equal-to-array-dim rule instead)
+        tz = max(8, (tz // 8) * 8)
+    n_zt = -(-nz // tz)
+    nz_p = n_zt * tz
+    return nx, ny, nz, kper, tz, n_zt, nz_p
+
+
 class _Plan(object):
     """A validated pair phase ready to execute with the pallas
     kernel."""
@@ -529,14 +640,19 @@ def plan_pair_phase(eqs, dest_store, src_store, spec, kernel_obj,
             raise PallasIneligible('%s uses loop_all' % eq.name)
     if not eqs:
         return None
-    if domain is not None and getattr(domain, 'is_periodic', False):
-        # domain arrays would be captured as kernel constants
-        raise PallasIneligible('periodic domain')
+    for d in range(spec.dim):
+        if spec.periodic[d] and spec.dims[d] == 2:
+            # wrap on +-1 offsets would visit the same cell twice
+            # (the XLA path shrinks the offset list instead,
+            # cell_grid.py:_stencil_offsets)
+            raise PallasIneligible('periodic axis with 2 cells')
     dest_schema = dest_store.schema
     src_schema = src_store.schema
+    Md = dest_store.layout.slot_to_particle.shape[0] // spec.n_cells
     Ms = src_store.layout.slot_to_particle.shape[0] // spec.n_cells
     if 3 * Ms > 512:
         raise PallasIneligible('source cell capacity too large')
+    _tiling(spec, Md, Ms)  # raises if the periodic tiling is infeasible
     _static_eligible(eqs, dest_schema, src_schema)
     rec = _record(eqs, kernel_obj, domain, radius_scale,
                   set(dest_schema.consts), set(src_schema.consts))
@@ -558,15 +674,6 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
     dest_consts = set(dest_store.schema.consts)
     src_consts = set(src_store.schema.consts)
 
-    nx, ny, nz = spec.dims
-    if nz == 1:
-        # 1D/2D grids: (nx, ny, 1, M) and (nx, 1, ny, M) are the same
-        # linear layout, so treat y as the lane-concat axis — each
-        # program then owns a whole (ny, Md, 3Ms) block instead of a
-        # degenerate (1, Md, 3Ms) one, and the grid shrinks from
-        # (nx, ny, 3) to (nx, 1, 3) programs.  The phantom middle-axis
-        # offsets are edge-masked like any out-of-range neighbor.
-        ny, nz = 1, ny
     C = spec.n_cells
     Md = dest_store.layout.slot_to_particle.shape[0] // C
     Ms = src_store.layout.slot_to_particle.shape[0] // C
@@ -584,21 +691,13 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
     out_props = list(rec.out_ops)
     fdt = dest_store['x'].dtype
 
-    # z-tile height: the traced pair block (tz, Md, 3Ms) spawns ~50
-    # live VMEM temporaries (Mosaic doesn't spill); keep them inside
-    # the 16 MB scoped budget.
-    def _pad(v, m):
-        return -(-v // m) * m
-
-    row_bytes = _pad(Md, 8) * _pad(3 * Ms, 128) * 4
-    tz = max(1, min(nz, int(12e6 // (50 * row_bytes))))
-    if tz < nz:
-        # multi-tile: the block z-dim must be a multiple of 8 (TPU
-        # tiling rule; a single full-height tile satisfies the
-        # equal-to-array-dim rule instead)
-        tz = max(8, (tz // 8) * 8)
-    n_zt = -(-nz // tz)
-    nz_p = n_zt * tz
+    # 1D/2D grids: (nx, ny, 1, M) and (nx, 1, ny, M) are the same
+    # linear layout, so treat y as the lane-concat axis — each program
+    # then owns a whole (ny, Md, 3Ms) block instead of a degenerate
+    # (1, Md, 3Ms) one, and the grid shrinks from (nx, ny, 3) to
+    # (nx, 1, 3) programs.  The phantom middle-axis offsets are
+    # edge-masked like any out-of-range neighbor.
+    nx, ny, nz, kper, tz, n_zt, nz_p = _tiling(spec, Md, Ms)
 
     def dblock(arr):
         b = arr.reshape(nx, ny, nz, Md)
@@ -606,19 +705,29 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
             b = jnp.pad(b, ((0, 0), (0, 0), (0, nz_p - nz), (0, 0)))
         return b
 
-    def sblock(arr):
+    def sblock3(arr):
+        """The 3 z-offset views of a source array, pre-shifted with
+        jnp.roll (cheap XLA data movement).  Cyclic wrap makes the
+        periodic case exact for any tiling; on non-periodic axes the
+        wrapped rows are removed by the kernel's z edge mask.  Rolling
+        *before* padding keeps the pad rows (zero mask) inert."""
         b = arr.reshape(nx, ny, nz, Ms)
-        if nz_p != nz:
-            b = jnp.pad(b, ((0, 0), (0, 0), (0, nz_p - nz), (0, 0)))
-        return b
+        outs = []
+        for oz in (-1, 0, 1):
+            r = jnp.roll(b, -oz, axis=2) if oz != 0 else b
+            if nz_p != nz:
+                r = jnp.pad(r, ((0, 0), (0, 0), (0, nz_p - nz),
+                                (0, 0)))
+            outs.append(r)
+        return outs
 
     scal = jnp.stack([jnp.asarray(t, fdt),
                       jnp.asarray(dt, fdt)]).reshape(1, 2)
     wmf = dblock(jnp.where(write_mask, 1.0, 0.0).astype(fdt))
     dmf = dblock(jnp.where(dest_store.layout.slot_mask, 1.0,
                            0.0).astype(fdt))
-    smf = sblock(jnp.where(src_store.layout.slot_mask, 1.0,
-                           0.0).astype(fdt))
+    smf3 = sblock3(jnp.where(src_store.layout.slot_mask, 1.0,
+                             0.0).astype(fdt))
 
     d_const_list = sorted(rec.d_consts)
     s_const_list = sorted(rec.s_consts)
@@ -627,18 +736,23 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
                              (i, j, zt, 0))
     const_map = lambda i, j, zt, k: (0, 0)  # noqa: E731
 
-    def _src_map(i, j, zt, k, oy, ozt):
-        return (jnp.clip(i + k - 1, 0, nx - 1),
-                jnp.clip(j + oy, 0, ny - 1),
-                jnp.clip(zt + ozt, 0, n_zt - 1), 0)
+    def _axis(v, n, wrap):
+        # periodic axes wrap the stencil block index; non-periodic
+        # ones clamp (the out-of-range offsets are edge-masked away)
+        return jnp.mod(v, n) if wrap else jnp.clip(v, 0, n - 1)
+
+    def _src_map(i, j, zt, k, oy):
+        # the z offset is pre-baked into the rolled arrays, so all
+        # three z views read the *current* z-tile
+        return (_axis(i + k - 1, nx, kper[0]),
+                _axis(j + oy, ny, kper[1]), zt, 0)
 
     # singleton y axis (1D/2D after the axis swap): the oy = +-1
     # passes are fully edge-masked, skip them statically
     oys = (0,) if ny == 1 else (-1, 0, 1)
-    src_specs = [[pl.BlockSpec(
-        (1, 1, tz, Ms),
-        functools.partial(_src_map, oy=oy, ozt=ozt))
-        for ozt in (-1, 0, 1)] for oy in oys]
+    src_specs = [pl.BlockSpec(
+        (1, 1, tz, Ms), functools.partial(_src_map, oy=oy))
+        for oy in oys]
 
     ins = [scal, wmf, dmf]
     in_specs = [
@@ -653,15 +767,15 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
         ins.append(c)
         in_specs.append(pl.BlockSpec(c.shape, const_map))
     for ty in range(len(oys)):
-        for ozt in range(3):
-            ins.append(smf)
-            in_specs.append(src_specs[ty][ozt])
+        for ozi in range(3):
+            ins.append(smf3[ozi])
+            in_specs.append(src_specs[ty])
     for p in s_props:
-        sb = sblock(src_store[p])
+        sb3 = sblock3(src_store[p])
         for ty in range(len(oys)):
-            for ozt in range(3):
-                ins.append(sb)
-                in_specs.append(src_specs[ty][ozt])
+            for ozi in range(3):
+                ins.append(sb3[ozi])
+                in_specs.append(src_specs[ty])
     for p in s_const_list:
         c = jnp.asarray(src_store[p]).reshape(1, -1)
         ins.append(c)
@@ -672,7 +786,7 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
                                       dest_store[p].dtype)
                  for p in out_props]
 
-    meta = (nx, ny, nz, tz, Md, oys, tuple(d_props),
+    meta = (nx, ny, nz, tz, Md, oys, kper, tuple(d_props),
             tuple(d_const_list), tuple(s_props), tuple(s_const_list),
             tuple(out_props))
     kern = functools.partial(_pair_kernel, eqs, kernel_obj, domain,

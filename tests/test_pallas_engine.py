@@ -9,12 +9,13 @@ import pytest
 from pysph_tpu.config import get_config
 
 
-def _make_eval(dim, pas, equations, kernel):
+def _make_eval(dim, pas, equations, kernel, domain=None):
     from pysph_tpu.base.cell_grid import GridSpec
     from pysph_tpu.sph.acceleration_eval import AccelerationEval
-    a_eval = AccelerationEval(pas, equations, kernel)
+    a_eval = AccelerationEval(pas, equations, kernel, domain=domain)
     a_eval.set_nnps(GridSpec.from_particles(
-        pas, dim=dim, radius_scale=kernel.radius_scale))
+        pas, dim=dim, radius_scale=kernel.radius_scale,
+        domain=domain))
     return a_eval
 
 
@@ -25,18 +26,19 @@ def _run(a_eval, states):
     return out
 
 
-def _compare(dim, pas, equations, kernel, props):
+def _compare(dim, pas, equations, kernel, props, domain=None):
     states = {}
     for pa in pas:
         state, _ = pa.to_device()
         states[pa.name] = state
     cfg = get_config()
-    a_eval = _make_eval(dim, pas, equations, kernel)
+    a_eval = _make_eval(dim, pas, equations, kernel, domain)
     assert not cfg.use_pallas
     ref = _run(a_eval, states)
     cfg.use_pallas = True
     try:
-        got = _run(_make_eval(dim, pas, equations, kernel), states)
+        got = _run(_make_eval(dim, pas, equations, kernel, domain),
+                   states)
     finally:
         cfg.use_pallas = False
     for name in ref:
@@ -115,6 +117,31 @@ def test_summation_density_parity():
     equations = [Group(equations=[SummationDensity('fluid',
                                                    ['fluid'])])]
     _compare(2, [pa], equations, CubicSpline(dim=2), ('rho',))
+
+
+@pytest.mark.parametrize('dim', [2, 3])
+def test_periodic_parity(dim):
+    """Periodic domains: wrapped stencil index maps + minimum-image
+    displacements must match the XLA roll engine."""
+    from pysph_tpu.base.domain import DomainManager
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.sph.basic_equations import ContinuityEquation
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.basic import MomentumEquation
+
+    pa = _wcsph_fluid(dim)
+    domain = DomainManager(
+        xmin=0.0, xmax=1.0, ymin=0.0, ymax=1.0,
+        zmin=0.0, zmax=1.0 if dim == 3 else 0.0,
+        periodic_in_x=True, periodic_in_y=True,
+        periodic_in_z=(dim == 3))
+    equations = [Group(equations=[
+        ContinuityEquation('fluid', ['fluid']),
+        MomentumEquation('fluid', ['fluid'], c0=10.0, alpha=0.1,
+                         beta=0.0),
+    ])]
+    _compare(dim, [pa], equations, CubicSpline(dim=dim),
+             ('arho', 'au', 'av', 'aw'), domain=domain)
 
 
 def test_max_accumulation_parity():
