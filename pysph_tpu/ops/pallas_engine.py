@@ -254,16 +254,20 @@ def _bind_loop(fn, ctx, t, dt):
     fn(**kwargs)
 
 
-def _run_eqs(eqs, ctx, t, dt):
+def _run_eqs(eqs, ctx, t, dt, written=None):
     """Run every equation's loop; the runner tracks per-equation
-    writes so cross-equation read-after-write is detected (the same
-    code path runs during recording and inside the kernel)."""
+    writes so cross-equation read-after-write is probed (the same
+    code path runs during recording and inside the kernel).  Pass
+    ``written`` to carry the written-set across fused source phases
+    (the reference evaluates them sequentially, so a later source's
+    equations can read props accumulated by an earlier source's)."""
     r = ctx.runner
-    r.written_before = set()
+    r.written_before = set() if written is None else written
     for eq in eqs:
         r.cur_written = set()
         _bind_loop(eq.loop, ctx, t, dt)
         r.written_before |= r.cur_written
+    return r.written_before
 
 
 # ---------------------------------------------------------------------------
@@ -295,17 +299,24 @@ class _Recorder(object):
     def __init__(self, perturb=0.0):
         self.perturb = perturb
         self.d_read = set()
-        self.s_read = set()
         self.raw_reads = set()
         self.contribs = []
         self.d_consts = OrderedDict()
-        self.s_consts = OrderedDict()
         self.out_ops = OrderedDict()
         self.written_before = set()
         self.cur_written = set()
         self.dmaskf = jnp.ones((2, 2), jnp.float32)
         self.smaskf_cat = jnp.ones((2, 6), jnp.float32)
         self.ctx = None
+        # per fused source phase: (s_read, s_consts)
+        self.sources = []
+        self.s_read = None
+        self.s_consts = None
+
+    def begin_source(self):
+        self.s_read = set()
+        self.s_consts = OrderedDict()
+        self.sources.append((self.s_read, self.s_consts))
 
     def dcol(self, prop):
         self.d_read.add(prop)
@@ -336,19 +347,23 @@ class _Recorder(object):
         self.contribs.append((prop, op, np.asarray(contrib)))
 
 
-def _record_once(eqs, kernel, domain, radius_scale, dest_consts,
-                 src_consts, perturb):
+def _record_once(phases, kernel, domain, radius_scale, dest_consts,
+                 perturb):
+    """phases: list of (eqs, src_consts) run sequentially (fused
+    sources of one dest)."""
     rec = _Recorder(perturb)
-    ctx = PlanePairContext(rec, kernel, domain, radius_scale,
-                           dest_consts, src_consts)
-    rec.ctx = ctx
-    _run_eqs(eqs, ctx, 0.0, 1e-3)
+    written = None
+    for eqs, src_consts in phases:
+        rec.begin_source()
+        ctx = PlanePairContext(rec, kernel, domain, radius_scale,
+                               dest_consts, src_consts)
+        rec.ctx = ctx
+        written = _run_eqs(eqs, ctx, 0.0, 1e-3, written)
     return rec
 
 
-def _record(eqs, kernel, domain, radius_scale, dest_consts,
-            src_consts):
-    # plan_pair_phase runs while the caller's step is being traced;
+def _record(phases, kernel, domain, radius_scale, dest_consts):
+    # plan_pair_phases runs while the caller's step is being traced;
     # the recording uses only concrete inputs, so evaluate it eagerly
     # (the linearity probe below needs concrete contributions).  Pin
     # the tiny eager ops to the host CPU: through a remote-dispatch
@@ -356,18 +371,18 @@ def _record(eqs, kernel, domain, radius_scale, dest_consts,
     # device vs 1.5 s on CPU).
     cpu = jax.local_devices(backend='cpu')[0]
     with jax.ensure_compile_time_eval(), jax.default_device(cpu):
-        return _record_concrete(eqs, kernel, domain, radius_scale,
-                                dest_consts, src_consts)
+        return _record_concrete(phases, kernel, domain, radius_scale,
+                                dest_consts)
 
 
-def _record_concrete(eqs, kernel, domain, radius_scale, dest_consts,
-                     src_consts):
+def _record_concrete(phases, kernel, domain, radius_scale,
+                     dest_consts):
     _install_symbol_formulas()
-    rec = _record_once(eqs, kernel, domain, radius_scale, dest_consts,
-                       src_consts, 0.0)
+    rec = _record_once(phases, kernel, domain, radius_scale,
+                       dest_consts, 0.0)
     if rec.raw_reads:
-        rec2 = _record_once(eqs, kernel, domain, radius_scale,
-                            dest_consts, src_consts, 0.731)
+        rec2 = _record_once(phases, kernel, domain, radius_scale,
+                            dest_consts, 0.731)
         ok = len(rec.contribs) == len(rec2.contribs)
         if ok:
             for (p1, o1, c1), (p2, o2, c2) in zip(rec.contribs,
@@ -428,11 +443,15 @@ class _KernelRunner(object):
             self.acc[prop] = (op, contrib)
 
 
-def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
+def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
+                 *refs):
     """The pallas kernel: one (x, y, z-tile) cell block, one
-    x-offset."""
-    (nx, ny, nz, tz, Md, oys, kper, d_props, d_const_list, s_props,
-     s_const_list, out_props) = meta
+    x-offset.  All fused source phases of the dest run sequentially
+    inside (the per-pass temporaries die at pass end, so peak VMEM
+    stays at the single-source level while launch overhead, dest
+    DMA and output accumulation are paid once)."""
+    (nx, ny, nz, tz, Md, oys, kper, d_props, d_const_list, src_metas,
+     out_props) = meta
     it = iter(refs)
     scal = next(it)                  # (1, 2): t, dt
     wm_ref = next(it)
@@ -440,10 +459,13 @@ def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
     d_refs = {p: next(it) for p in d_props}
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
     n_oy = len(oys)
-    sm_refs = [[next(it) for _ in range(3)] for _ in range(n_oy)]
-    s_refs = {p: [[next(it) for _ in range(3)] for _ in range(n_oy)]
-              for p in s_props}
-    s_consts = {('s', p): next(it)[0] for p in s_const_list}
+    srcs = []
+    for s_props, s_const_list in src_metas:
+        sm_refs = [next(it) for _ in range(n_oy)]
+        s_refs = {p: [next(it) for _ in range(n_oy)]
+                  for p in s_props}
+        s_consts = {('s', p): next(it)[0] for p in s_const_list}
+        srcs.append((sm_refs, s_refs, s_consts, s_const_list))
     out_refs = {p: next(it) for p in out_props}
 
     t = scal[0, 0]
@@ -461,12 +483,12 @@ def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
     else:
         x_okf = jnp.where((i + ox >= 0) & (i + ox <= nx - 1), one,
                           zero)
-    Ms = sm_refs[0][1].shape[-1]
-    if kper[2]:
-        z_edge = jnp.ones((tz, 3 * Ms), jnp.float32)
-    else:
+
+    def z_edge_for(Ms):
+        if kper[2]:
+            return jnp.ones((tz, 3 * Ms), jnp.float32)
         zi = zt * tz + jax.lax.broadcasted_iota(jnp.int32, (tz, 1), 0)
-        z_edge = jnp.concatenate(
+        return jnp.concatenate(
             [jnp.broadcast_to(
                 jnp.where((zi + oz >= 0) & (zi + oz <= nz - 1), one,
                           zero),
@@ -476,9 +498,6 @@ def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
     dcols = {p: d_refs[p][0, 0] for p in d_props}
     dmaskf = dm_ref[0, 0]
     wmf = wm_ref[0, 0]
-    consts = {}
-    consts.update(d_consts)
-    consts.update(s_consts)
 
     @pl.when(k == 0)
     def _init():
@@ -501,42 +520,43 @@ def _pair_kernel(eqs, kernel_obj, domain, radius_scale, meta, *refs):
             else:
                 y_okf = jnp.where((j + oy >= 0) & (j + oy <= ny - 1),
                                   one, zero)
-            scat_cache = {}
+            written = None
+            for (sm_refs, s_refs, s_consts, s_const_list), eqs in zip(
+                    srcs, eqs_list):
+                # the 3 z-offset views were pre-shifted by jnp.roll
+                # and lane-concatenated in HBM outside the kernel
+                # (cyclic, so periodic wrap is free; out-of-range rows
+                # on non-periodic axes are edge-masked) — one packed
+                # (tz, 3Ms) block per (oy, prop).
+                def scat(prop, _ty=ty, _s_refs=s_refs):
+                    return _s_refs[prop][_ty][0, 0]
 
-            # the 3 z-offset views were pre-shifted by jnp.roll outside
-            # the kernel (cyclic, so periodic wrap is free; out-of-range
-            # rows on non-periodic axes are edge-masked) — plain
-            # lane-concat here, no sublane realignment needed.
-            def scat(prop, _ty=ty):
-                if prop not in scat_cache:
-                    r3 = s_refs[prop][_ty]
-                    scat_cache[prop] = jnp.concatenate(
-                        [r[0, 0] for r in r3], axis=-1)
-                return scat_cache[prop]
-
-            m3 = sm_refs[ty]
-            smaskf_cat = (x_okf * y_okf * z_edge * jnp.concatenate(
-                [r[0, 0] for r in m3], axis=-1))
-            runner = _KernelRunner(dcols, scat, dmaskf, smaskf_cat,
-                                   consts)
-            ctx = PlanePairContext(runner, kernel_obj, domain,
-                                   radius_scale, set(p for p in
-                                                     d_const_list),
-                                   set(p for p in s_const_list))
-            runner.ctx = ctx
-            _run_eqs(eqs, ctx, t, dt)
-            for prop, (op, val) in runner.acc.items():
-                if prop in total:
-                    top, tval = total[prop]
-                    if op == 'sum':
-                        tval = tval + val
-                    elif op == 'max':
-                        tval = jnp.maximum(tval, val)
+                Ms = sm_refs[0].shape[-1] // 3
+                smaskf_cat = (x_okf * y_okf * z_edge_for(Ms) *
+                              sm_refs[ty][0, 0])
+                consts = {}
+                consts.update(d_consts)
+                consts.update(s_consts)
+                runner = _KernelRunner(dcols, scat, dmaskf,
+                                       smaskf_cat, consts)
+                ctx = PlanePairContext(
+                    runner, kernel_obj, domain, radius_scale,
+                    set(p for p in d_const_list),
+                    set(p for p in s_const_list))
+                runner.ctx = ctx
+                written = _run_eqs(eqs, ctx, t, dt, written)
+                for prop, (op, val) in runner.acc.items():
+                    if prop in total:
+                        top, tval = total[prop]
+                        if op == 'sum':
+                            tval = tval + val
+                        elif op == 'max':
+                            tval = jnp.maximum(tval, val)
+                        else:
+                            tval = jnp.minimum(tval, val)
+                        total[prop] = (top, tval)
                     else:
-                        tval = jnp.minimum(tval, val)
-                    total[prop] = (top, tval)
-                else:
-                    total[prop] = (op, val)
+                        total[prop] = (op, val)
 
         for prop in out_props:
             op, val = total[prop]
@@ -598,8 +618,10 @@ def _tiling(spec, Md, Ms):
     # z-tile height: the traced pair block (tz, Md, 3Ms) spawns ~50
     # live VMEM temporaries (Mosaic doesn't spill); keep them inside
     # the 16 MB scoped budget.
+    import os
+    n_temps = int(os.environ.get('PYSPH_TPU_VMEM_TEMPS', '50'))
     row_bytes = _pad_up(Md, 8) * _pad_up(3 * Ms, 128) * 4
-    tz = max(1, min(nz, int(12e6 // (50 * row_bytes))))
+    tz = max(1, min(nz, int(12e6 // (n_temps * row_bytes))))
     if tz < nz:
         # multi-tile: the block z-dim must be a multiple of 8 (TPU
         # tiling rule; a single full-height tile satisfies the
@@ -611,34 +633,35 @@ def _tiling(spec, Md, Ms):
 
 
 class _Plan(object):
-    """A validated pair phase ready to execute with the pallas
-    kernel."""
+    """Validated pair phases of one dest (one or more fused sources)
+    ready to execute with the pallas kernel."""
 
-    def __init__(self, eqs, rec, kernel_obj, domain, radius_scale):
-        self.eqs = eqs
+    def __init__(self, phases, rec, kernel_obj, domain, radius_scale):
+        self.phases = phases         # [(src_store, eqs), ...]
         self.rec = rec
         self.kernel_obj = kernel_obj
         self.domain = domain
         self.radius_scale = radius_scale
 
-    def execute(self, dest_store, src_store, spec, write_mask, t, dt,
+    def execute(self, dest_store, spec, write_mask, t, dt,
                 interpret=None):
-        _execute_plan(self, dest_store, src_store, spec, write_mask,
-                      t, dt, interpret)
+        _execute_plan(self, dest_store, spec, write_mask, t, dt,
+                      interpret)
 
 
-def plan_pair_phase(eqs, dest_store, src_store, spec, kernel_obj,
-                    domain, radius_scale):
-    """Validate the pair phase of ``eqs`` (one dest, one src) for
-    pallas execution.  Returns a _Plan (or None if there is nothing to
-    run); raises PallasIneligible — before any device-state writes —
-    if the phase can't be expressed, so the caller can fall back to
-    the XLA path cleanly."""
-    eqs = [eq for eq in eqs if getattr(eq, 'loop', None) is not None]
-    for eq in eqs:
-        if getattr(eq, 'loop_all', None) is not None:
-            raise PallasIneligible('%s uses loop_all' % eq.name)
-    if not eqs:
+def plan_pair_phases(phases, dest_store, spec, kernel_obj, domain,
+                     radius_scale):
+    """Validate the pair phases of one dest (``phases`` is a list of
+    ``(src_store, eqs)``, fused into a single kernel call) for pallas
+    execution.  Returns a _Plan (or None if there is nothing to run);
+    raises PallasIneligible — before any device-state writes — if a
+    phase can't be expressed, so the caller can fall back cleanly."""
+    phases = [(s, [eq for eq in eqs
+                   if getattr(eq, 'loop', None) is not None or
+                   getattr(eq, 'loop_all', None) is not None])
+              for s, eqs in phases]
+    phases = [(s, eqs) for s, eqs in phases if eqs]
+    if not phases:
         return None
     for d in range(spec.dim):
         if spec.periodic[d] and spec.dims[d] == 2:
@@ -647,47 +670,46 @@ def plan_pair_phase(eqs, dest_store, src_store, spec, kernel_obj,
             # cell_grid.py:_stencil_offsets)
             raise PallasIneligible('periodic axis with 2 cells')
     dest_schema = dest_store.schema
-    src_schema = src_store.schema
     Md = dest_store.layout.slot_to_particle.shape[0] // spec.n_cells
-    Ms = src_store.layout.slot_to_particle.shape[0] // spec.n_cells
-    if 3 * Ms > 512:
-        raise PallasIneligible('source cell capacity too large')
-    _tiling(spec, Md, Ms)  # raises if the periodic tiling is infeasible
-    _static_eligible(eqs, dest_schema, src_schema)
-    rec = _record(eqs, kernel_obj, domain, radius_scale,
-                  set(dest_schema.consts), set(src_schema.consts))
+    for src_store, eqs in phases:
+        Ms = (src_store.layout.slot_to_particle.shape[0] //
+              spec.n_cells)
+        if 3 * Ms > 512:
+            raise PallasIneligible('source cell capacity too large')
+        _tiling(spec, Md, Ms)
+        _static_eligible(eqs, dest_schema, src_store.schema)
+    rec = _record([(eqs, set(s.schema.consts)) for s, eqs in phases],
+                  kernel_obj, domain, radius_scale,
+                  set(dest_schema.consts))
     if not rec.out_ops:
         return None
     for p in rec.out_ops:
         if not jnp.issubdtype(dest_store[p].dtype, jnp.floating):
             raise PallasIneligible('non-float accumulation on %r' % p)
-    return _Plan(eqs, rec, kernel_obj, domain, radius_scale)
+    return _Plan(phases, rec, kernel_obj, domain, radius_scale)
 
 
-def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
-                  dt, interpret=None):
-    eqs = plan.eqs
+def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
+                  interpret=None):
     rec = plan.rec
     kernel_obj = plan.kernel_obj
     domain = plan.domain
     radius_scale = plan.radius_scale
     dest_consts = set(dest_store.schema.consts)
-    src_consts = set(src_store.schema.consts)
 
     C = spec.n_cells
     Md = dest_store.layout.slot_to_particle.shape[0] // C
-    Ms = src_store.layout.slot_to_particle.shape[0] // C
+    Mss = [s.layout.slot_to_particle.shape[0] // C
+           for s, _ in plan.phases]
 
-    sym_args = set()
-    for eq in eqs:
-        sym_args.update(a for a in _method_args(eq.loop)
-                        if a in _SYM_DEPS)
     dep_props = set(_XYZH)  # pair mask needs positions + h
-    for a in sym_args:
-        dep_props.update(_SYM_DEPS[a])
+    for _, eqs in plan.phases:
+        for eq in eqs:
+            for a in _method_args(eq.loop):
+                if a in _SYM_DEPS:
+                    dep_props.update(_SYM_DEPS[a])
     d_props = sorted((rec.d_read | set(rec.out_ops) | dep_props) -
                      dest_consts)
-    s_props = sorted((rec.s_read | dep_props) - src_consts)
     out_props = list(rec.out_ops)
     fdt = dest_store['x'].dtype
 
@@ -697,7 +719,7 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
     # (1, Md, 3Ms) one, and the grid shrinks from (nx, ny, 3) to
     # (nx, 1, 3) programs.  The phantom middle-axis offsets are
     # edge-masked like any out-of-range neighbor.
-    nx, ny, nz, kper, tz, n_zt, nz_p = _tiling(spec, Md, Ms)
+    nx, ny, nz, kper, tz, n_zt, nz_p = _tiling(spec, Md, max(Mss))
 
     def dblock(arr):
         b = arr.reshape(nx, ny, nz, Md)
@@ -705,32 +727,32 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
             b = jnp.pad(b, ((0, 0), (0, 0), (0, nz_p - nz), (0, 0)))
         return b
 
-    def sblock3(arr):
-        """The 3 z-offset views of a source array, pre-shifted with
-        jnp.roll (cheap XLA data movement).  Cyclic wrap makes the
-        periodic case exact for any tiling; on non-periodic axes the
-        wrapped rows are removed by the kernel's z edge mask.  Rolling
-        *before* padding keeps the pad rows (zero mask) inert."""
+    def sblock3(arr, Ms):
+        """One (nx, ny, nz_p, 3*Ms) array lane-concatenating the 3
+        z-offset views of a source array, pre-shifted with jnp.roll
+        (cheap XLA data movement).  Cyclic wrap makes the periodic
+        case exact for any tiling; on non-periodic axes the wrapped
+        rows are removed by the kernel's z edge mask.  Rolling
+        *before* padding keeps the pad rows (zero mask) inert.
+        Pre-concatenating in HBM (vs 3 separate view inputs) cuts the
+        per-program DMA count 3x and avoids lane-padding each narrow
+        Ms view to 128."""
         b = arr.reshape(nx, ny, nz, Ms)
-        outs = []
-        for oz in (-1, 0, 1):
-            r = jnp.roll(b, -oz, axis=2) if oz != 0 else b
-            if nz_p != nz:
-                r = jnp.pad(r, ((0, 0), (0, 0), (0, nz_p - nz),
+        cat = jnp.concatenate(
+            [jnp.roll(b, -oz, axis=2) if oz != 0 else b
+             for oz in (-1, 0, 1)], axis=-1)
+        if nz_p != nz:
+            cat = jnp.pad(cat, ((0, 0), (0, 0), (0, nz_p - nz),
                                 (0, 0)))
-            outs.append(r)
-        return outs
+        return cat
 
     scal = jnp.stack([jnp.asarray(t, fdt),
                       jnp.asarray(dt, fdt)]).reshape(1, 2)
     wmf = dblock(jnp.where(write_mask, 1.0, 0.0).astype(fdt))
     dmf = dblock(jnp.where(dest_store.layout.slot_mask, 1.0,
                            0.0).astype(fdt))
-    smf3 = sblock3(jnp.where(src_store.layout.slot_mask, 1.0,
-                             0.0).astype(fdt))
 
     d_const_list = sorted(rec.d_consts)
-    s_const_list = sorted(rec.s_consts)
 
     dest_spec = pl.BlockSpec((1, 1, tz, Md), lambda i, j, zt, k:
                              (i, j, zt, 0))
@@ -750,9 +772,6 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
     # singleton y axis (1D/2D after the axis swap): the oy = +-1
     # passes are fully edge-masked, skip them statically
     oys = (0,) if ny == 1 else (-1, 0, 1)
-    src_specs = [pl.BlockSpec(
-        (1, 1, tz, Ms), functools.partial(_src_map, oy=oy))
-        for oy in oys]
 
     ins = [scal, wmf, dmf]
     in_specs = [
@@ -766,20 +785,33 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
         c = jnp.asarray(dest_store[p]).reshape(1, -1)
         ins.append(c)
         in_specs.append(pl.BlockSpec(c.shape, const_map))
-    for ty in range(len(oys)):
-        for ozi in range(3):
-            ins.append(smf3[ozi])
-            in_specs.append(src_specs[ty])
-    for p in s_props:
-        sb3 = sblock3(src_store[p])
+
+    src_metas = []
+    eqs_list = []
+    for (src_store, eqs), Ms, (s_read, s_consts) in zip(
+            plan.phases, Mss, rec.sources):
+        src_consts = set(src_store.schema.consts)
+        s_props = sorted((s_read | dep_props) - src_consts)
+        s_const_list = sorted(s_consts)
+        src_specs = [pl.BlockSpec(
+            (1, 1, tz, 3 * Ms), functools.partial(_src_map, oy=oy))
+            for oy in oys]
+        smf3 = sblock3(jnp.where(src_store.layout.slot_mask, 1.0,
+                                 0.0).astype(fdt), Ms)
         for ty in range(len(oys)):
-            for ozi in range(3):
-                ins.append(sb3[ozi])
+            ins.append(smf3)
+            in_specs.append(src_specs[ty])
+        for p in s_props:
+            sb3 = sblock3(src_store[p], Ms)
+            for ty in range(len(oys)):
+                ins.append(sb3)
                 in_specs.append(src_specs[ty])
-    for p in s_const_list:
-        c = jnp.asarray(src_store[p]).reshape(1, -1)
-        ins.append(c)
-        in_specs.append(pl.BlockSpec(c.shape, const_map))
+        for p in s_const_list:
+            c = jnp.asarray(src_store[p]).reshape(1, -1)
+            ins.append(c)
+            in_specs.append(pl.BlockSpec(c.shape, const_map))
+        src_metas.append((tuple(s_props), tuple(s_const_list)))
+        eqs_list.append(eqs)
 
     out_specs = [dest_spec for _ in out_props]
     out_shape = [jax.ShapeDtypeStruct((nx, ny, nz_p, Md),
@@ -787,10 +819,9 @@ def _execute_plan(plan, dest_store, src_store, spec, write_mask, t,
                  for p in out_props]
 
     meta = (nx, ny, nz, tz, Md, oys, kper, tuple(d_props),
-            tuple(d_const_list), tuple(s_props), tuple(s_const_list),
-            tuple(out_props))
-    kern = functools.partial(_pair_kernel, eqs, kernel_obj, domain,
-                             radius_scale, meta)
+            tuple(d_const_list), tuple(src_metas), tuple(out_props))
+    kern = functools.partial(_pair_kernel, eqs_list, kernel_obj,
+                             domain, radius_scale, meta)
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
     outs = pl.pallas_call(

@@ -885,27 +885,29 @@ class AccelerationEval(object):
                 mask = mask & (pid < stop)
         return mask
 
-    def _pallas_plan(self, src_eqs, store, src_store, handle):
-        """Try to plan this (dest, src) pair phase for the fused
-        pallas kernel (ops/pallas_engine.py); None = use the XLA
-        path."""
+    def _pallas_plan(self, phases, store, handle):
+        """Try to plan the (dest, sources) pair phases — fused into
+        one kernel call — for the pallas engine
+        (ops/pallas_engine.py); None = use the XLA path for all of
+        them.  ``phases`` is a list of (src_store, eqs)."""
         from pysph_tpu.config import get_config
         if not getattr(get_config(), 'use_pallas', False):
             return None
-        if not isinstance(store, SlotStore) or not isinstance(
-                src_store, SlotStore):
+        if not isinstance(store, SlotStore) or not all(
+                isinstance(s, SlotStore) for s, _ in phases):
             return None
         from pysph_tpu.ops.pallas_engine import (
-            PallasIneligible, plan_pair_phase)
+            PallasIneligible, plan_pair_phases)
         try:
-            return plan_pair_phase(
-                src_eqs, store, src_store, handle.spec, self.kernel,
+            return plan_pair_phases(
+                phases, store, handle.spec, self.kernel,
                 self.domain, self.grid_spec.radius_scale)
         except PallasIneligible as e:
             import logging
             logging.getLogger(__name__).info(
                 'pallas fallback for %s <- %s: %s',
-                src_eqs[0].dest, src_store.schema.name, e)
+                phases[0][1][0].dest,
+                [s.schema.name for s, _ in phases], e)
             return None
 
     def _run_group_once(self, group, t, dt, stores, handle):
@@ -944,10 +946,27 @@ class AccelerationEval(object):
             for eq in eqs:
                 for src in (eq.sources or ()):
                     sources.setdefault(src, []).append(eq)
+
+            # Fuse all of this dest's sources into ONE pallas call
+            # when possible: launch overhead, dest DMA and output
+            # accumulation are paid once instead of per source.
+            # initialize_pair interleaves with per-source loops in
+            # the reference order, so its presence disables fusion.
+            fused = None
+            if len(sources) > 1 and not any(
+                    hasattr(eq, 'initialize_pair') for eq in eqs):
+                fused = self._pallas_plan(
+                    [(stores[src], src_eqs)
+                     for src, src_eqs in sources.items()],
+                    store, handle)
+            if fused is not None:
+                fused.execute(store, handle.spec, write_mask, t, dt)
+                sources = OrderedDict()
+
             for src, src_eqs in sources.items():
                 src_store = stores[src]
-                plan = self._pallas_plan(src_eqs, store, src_store,
-                                         handle)
+                plan = self._pallas_plan([(src_store, src_eqs)],
+                                         store, handle)
                 for eq in src_eqs:
                     fn = getattr(eq, 'initialize_pair', None)
                     if fn is not None:
@@ -956,8 +975,8 @@ class AccelerationEval(object):
                             kernel, src_store=src_store,
                             src_schema=self.schemas[src])
                 if plan is not None:
-                    plan.execute(store, src_store, handle.spec,
-                                 write_mask, t, dt)
+                    plan.execute(store, handle.spec, write_mask, t,
+                                 dt)
                     continue
                 stencil = StencilView(handle.spec, src_store.layout)
                 ctx = GridPairContext(
