@@ -58,7 +58,8 @@ class GridSpec(object):
     """
 
     def __init__(self, dim, radius_scale, dims, cell_capacity,
-                 domain=None, cell_slack=1.1, capacities=None):
+                 domain=None, cell_slack=1.1, capacities=None,
+                 block_fracs=None):
         self.dim = int(dim)
         self.radius_scale = float(radius_scale)
         # Cells are slightly larger than the support radius so a binning
@@ -75,6 +76,12 @@ class GridSpec(object):
         # shrinks every pair block they participate in.
         self.capacities = {k: int(v)
                            for k, v in (capacities or {}).items()}
+        # Per-array active-block fraction caps for the sparse pallas
+        # dispatch (fraction of (x, y, z-tile) blocks that may contain
+        # particles of that array; 1.0 = dense).  Overflow at runtime
+        # is surfaced as diag['block_overflow'] -> solver grows+re-jits.
+        self.block_fracs = {k: float(v)
+                            for k, v in (block_fracs or {}).items()}
         self.domain = domain
         self.n_cells = dims[0] * dims[1] * dims[2]
         self.n_slots = self.n_cells * self.cell_capacity
@@ -83,6 +90,9 @@ class GridSpec(object):
 
     def capacity_for(self, name):
         return self.capacities.get(name, self.cell_capacity)
+
+    def block_frac_for(self, name):
+        return self.block_fracs.get(name, 1.0)
 
     @property
     def periodic(self):
@@ -143,8 +153,10 @@ class GridSpec(object):
                            for s in list(shifts)]
             names = [pa.name for pa in particle_arrays
                      if pa.get_number_of_particles() > 0]
+            block_fracs = {}
             for name, xyz in zip(names, coords):
                 occ = 0
+                frac = 0.0
                 for shift in shifts:
                     cs = []
                     for d in range(3):
@@ -157,13 +169,35 @@ class GridSpec(object):
                     flat = ((cs[0] * dims[1] + cs[1]) * dims[2] +
                             cs[2])
                     occ = max(occ, int(np.bincount(flat).max()))
+                    # Active-(x, y, z-tile)-block fraction for the
+                    # sparse pallas dispatch (tz=8 matches the usual
+                    # kernel tile; the engine's 1D/2D axis swap makes
+                    # the middle axis the tiled one when nz == 1).
+                    tz = 8
+                    if dims[2] == 1:
+                        blk = cs[0] * (-(-dims[1] // tz)) + cs[1] // tz
+                        n_blk = dims[0] * -(-dims[1] // tz)
+                    else:
+                        nzt = -(-dims[2] // tz)
+                        blk = (cs[0] * dims[1] + cs[1]) * nzt + \
+                            cs[2] // tz
+                        n_blk = dims[0] * dims[1] * nzt
+                    frac = max(frac,
+                               len(np.unique(blk)) / float(n_blk))
                 capacities[name] = max(4, int(-(-int(
                     occ * capacity_slack) // 4) * 4))
+                # moderate slack: geometry spreads over time, but an
+                # overflow just doubles the cap and re-jits (amortized
+                # over production-length runs)
+                block_fracs[name] = min(1.0, 1.6 * frac + 0.02)
             cell_capacity = max(capacities.values())
+        else:
+            block_fracs = None
         return cls(dim, radius_scale, tuple(dims), cell_capacity,
-                   domain, capacities=capacities)
+                   domain, capacities=capacities,
+                   block_fracs=block_fracs)
 
-    def grow(self, cells=False, extent=False, factor=2):
+    def grow(self, cells=False, extent=False, blocks=False, factor=2):
         """Return a larger spec after an overflow."""
         dims = self.dims
         if extent:
@@ -173,8 +207,12 @@ class GridSpec(object):
         M = self.cell_capacity * factor if cells else self.cell_capacity
         caps = {k: v * factor if cells else v
                 for k, v in self.capacities.items()}
+        fracs = self.block_fracs
+        if blocks:
+            fracs = {k: min(1.0, v * 2) for k, v in fracs.items()}
         return GridSpec(self.dim, self.radius_scale, dims, M,
-                        self.domain, capacities=caps)
+                        self.domain, capacities=caps,
+                        block_fracs=fracs)
 
     # ------------------------------------------------------------------
     def geometry(self, states):
@@ -299,7 +337,17 @@ def to_slots_many(layout, flat_arrs, fill=0):
     m = jnp.stack(flat_arrs, axis=1)
     idx = jnp.maximum(layout.slot_to_particle, 0)
     out = jnp.where(layout.slot_mask[:, None], m[idx], fill)
-    return [out[:, i] for i in range(len(flat_arrs))]
+    # Extracting the P columns one by one is a stride-P read of the
+    # whole matrix each (XLA keeps plain .T logical via layout
+    # assignment, so slicing the transpose is just as strided —
+    # measured ~21 x 2.2 ms per eval at dam_break_3d dx=0.02).
+    # reshape(-1) of the transpose forces ONE physical linearization;
+    # the barrier stops XLA from re-fusing it into each slice; the
+    # slices themselves are then contiguous bitcasts.
+    n = out.shape[0]
+    flat_t = jax.lax.optimization_barrier(out.T.reshape(-1))
+    return [flat_t[i * n:(i + 1) * n]
+            for i in range(len(flat_arrs))]
 
 
 def from_slots_many(layout, slot_arrs, flat_arrs):
@@ -311,7 +359,11 @@ def from_slots_many(layout, slot_arrs, flat_arrs):
     idx = jnp.minimum(layout.particle_to_slot, s.shape[0] - 1)
     ok = layout.particle_to_slot < s.shape[0]
     out = jnp.where(ok[:, None], s[idx], f)
-    return [out[:, i] for i in range(len(slot_arrs))]
+    n = out.shape[0]
+    flat_t = jax.lax.optimization_barrier(
+        out.T.reshape(-1))  # see to_slots_many
+    return [flat_t[i * n:(i + 1) * n]
+            for i in range(len(slot_arrs))]
 
 
 def from_slots(layout, slot_arr, flat_arr):

@@ -7,12 +7,18 @@ The XLA roll engine (sph/acceleration_eval.py) evaluates dense
 traces the *same* equation ``loop`` methods — unchanged — inside a
 pallas kernel where the pair block lives in VMEM:
 
-- grid ``(nx, ny, 3)``: each program owns one cell row (fixed x, y);
-  the inner grid axis is the x-offset, accumulated into the output
-  block across grid revisits (``@pl.when(k == 0)`` init);
-- the 3 y-offsets arrive as separately index-mapped input blocks;
-- the 3 z-offsets are lane-concatenated so the pair block is
-  ``(nz, Md, 3*Ms)`` — one 128-lane tile for Ms <= 42.
+- grid ``(A_max,)``: one program per *active* (x, y, z-tile) cell
+  block, walking a scalar-prefetched activity-sorted block list
+  (SPH geometries fill a fraction of the bounding grid; inactive
+  blocks cost nothing).  All fused source phases and all 9 in-plane
+  neighbor offsets run inside the program, accumulating into VMEM
+  scratch; each block's output is written exactly once;
+- the 9 (x, y)-offset source views arrive as separately index-mapped,
+  prop-stacked blocks (one DMA descriptor per view instead of one
+  per (view, prop));
+- the 3 z-offsets are pre-rolled in HBM and lane-concatenated so the
+  per-view pair block is ``(tz, Md, 3*Ms)`` — one 128-lane tile for
+  Ms <= 42.
 
 ``dims`` is always a 3-tuple (1D/2D grids have singleton dims whose
 phantom neighbor offsets are edge-masked away), so the same kernel
@@ -445,44 +451,48 @@ class _KernelRunner(object):
 
 def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
                  *refs):
-    """The pallas kernel: one (x, y, z-tile) cell block, one
-    x-offset.  All fused source phases of the dest run sequentially
-    inside (the per-pass temporaries die at pass end, so peak VMEM
-    stays at the single-source level while launch overhead, dest
-    DMA and output accumulation are paid once)."""
-    (nx, ny, nz, tz, Md, oys, kper, d_props, d_const_list, src_metas,
-     out_props) = meta
+    """The pallas kernel: one active (x, y, z-tile) cell block per
+    program (single grid axis over the scalar-prefetched active block
+    list; entries past ``na`` repeat the last active block and are
+    skipped).  All 9 (x, y)-offset neighbor views and all fused source
+    phases run inside the program, accumulating into VMEM scratch, so
+    each block's dest data is DMA'd once and its output written once —
+    no cross-program revisiting.
+
+    DMA-transaction economy is the point: dest props arrive as ONE
+    prop-stacked block (plane 0 = write mask, 1 = slot mask, then the
+    props), each (phase, oy, ox) source view as ONE prop-stacked block
+    (plane 0 = slot mask, then the props) — ~30 descriptors per
+    program instead of ~100 per (program, x-offset) with per-prop
+    inputs (measured 35 us/program of pure DMA issue overhead at
+    dam_break_3d dx=0.02 before this layout)."""
+    (nx, ny, nz, tz, Md, oys, oxs, kper, d_props, d_const_list,
+     src_metas, out_props, out_ops) = meta
     it = iter(refs)
+    bi_ref = next(it)                # scalar prefetch: block coords
+    bj_ref = next(it)
+    bz_ref = next(it)
+    na_ref = next(it)                # (1,): number of active blocks
     scal = next(it)                  # (1, 2): t, dt
-    wm_ref = next(it)
-    dm_ref = next(it)
-    d_refs = {p: next(it) for p in d_props}
+    d_ref = next(it)                 # (1, 1, 2 + Pd, tz, Md)
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
-    n_oy = len(oys)
     srcs = []
     for s_props, s_const_list in src_metas:
-        sm_refs = [next(it) for _ in range(n_oy)]
-        s_refs = {p: [next(it) for _ in range(n_oy)]
-                  for p in s_props}
+        s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
         s_consts = {('s', p): next(it)[0] for p in s_const_list}
-        srcs.append((sm_refs, s_refs, s_consts, s_const_list))
-    out_refs = {p: next(it) for p in out_props}
+        srcs.append((s_ref, s_props, s_consts, s_const_list))
+    out_ref = next(it)               # (1, 1, Po, tz, Md)
+    scratch = [next(it) for _ in out_props]
 
     t = scal[0, 0]
     dt = scal[0, 1]
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    zt = pl.program_id(2)
-    k = pl.program_id(3)
-    ox = k - 1
+    a = pl.program_id(0)
+    valid = a < na_ref[0]
+    i = bi_ref[a]
+    j = bj_ref[a]
+    zt = bz_ref[a]
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
-
-    if kper[0]:
-        x_okf = one
-    else:
-        x_okf = jnp.where((i + ox >= 0) & (i + ox <= nx - 1), one,
-                          zero)
 
     def z_edge_for(Ms):
         if kper[2]:
@@ -495,79 +505,98 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
                 (tz, Ms))
              for oz in (-1, 0, 1)], axis=-1)
 
-    dcols = {p: d_refs[p][0, 0] for p in d_props}
-    dmaskf = dm_ref[0, 0]
-    wmf = wm_ref[0, 0]
+    wmf = d_ref[0, 0, 0]
+    dmaskf = d_ref[0, 0, 1]
+    dcols = {p: d_ref[0, 0, 2 + pi] for pi, p in enumerate(d_props)}
 
-    @pl.when(k == 0)
-    def _init():
-        # identity base; contributions accumulate below (the order of
-        # pl.when blocks is program order)
-        for prop in out_props:
-            out_refs[prop][0, 0] = dcols[prop]
-
-    # dest-occupancy skip: SPH geometries are sparse on the dense cell
-    # grid (fluid fills a corner, walls line the box), so whole blocks
-    # often have no writable dest slot — skip all pair work for them.
-    occ = jnp.sum(wmf * dmaskf) > 0.0
+    # the active list guarantees a dest particle somewhere in the
+    # block, but this group's write mask may still leave nothing
+    # writable.  Padding entries (a >= na) repeat the last active
+    # block: skipping them flushes the VMEM out buffer unchanged — the
+    # same correct values written at its real visit.
+    occ = valid & (jnp.sum(wmf * dmaskf) > 0.0)
 
     @pl.when(occ)
     def _compute():
-        total = {}
-        for ty, oy in enumerate(oys):
-            if kper[1]:
+        neutral = {'sum': 0.0, 'max': -jnp.inf, 'min': jnp.inf}
+        for po, prop in enumerate(out_props):
+            scratch[po][...] = jnp.full(
+                scratch[po].shape, neutral[out_ops[prop]],
+                scratch[po].dtype)
+        out_idx = {p: po for po, p in enumerate(out_props)}
+
+        for oy in oys:
+            if kper[1] or ny == 1:
                 y_okf = one
             else:
                 y_okf = jnp.where((j + oy >= 0) & (j + oy <= ny - 1),
                                   one, zero)
-            written = None
-            for (sm_refs, s_refs, s_consts, s_const_list), eqs in zip(
-                    srcs, eqs_list):
-                # the 3 z-offset views were pre-shifted by jnp.roll
-                # and lane-concatenated in HBM outside the kernel
-                # (cyclic, so periodic wrap is free; out-of-range rows
-                # on non-periodic axes are edge-masked) — one packed
-                # (tz, 3Ms) block per (oy, prop).
-                def scat(prop, _ty=ty, _s_refs=s_refs):
-                    return _s_refs[prop][_ty][0, 0]
+            for ox in oxs:
+                if kper[0] or nx == 1:
+                    x_okf = one
+                else:
+                    x_okf = jnp.where(
+                        (i + ox >= 0) & (i + ox <= nx - 1), one, zero)
+                written = [None]
+                for (s_ref, s_props, s_consts, s_const_list), eqs in \
+                        zip(srcs, eqs_list):
+                    # the 3 z-offset views were pre-shifted by
+                    # jnp.roll and lane-concatenated in HBM (cyclic,
+                    # so periodic wrap is free; out-of-range rows on
+                    # non-periodic axes are edge-masked) — one packed
+                    # (Ps, tz, 3Ms) block per (phase, oy, ox).
+                    ref = s_ref[(oy, ox)]
+                    Ms = ref.shape[-1] // 3
+                    smaskf_cat = (x_okf * y_okf * z_edge_for(Ms) *
+                                  ref[0, 0, 0])
+                    src_any = jnp.sum(smaskf_cat) > 0.0
 
-                Ms = sm_refs[0].shape[-1] // 3
-                smaskf_cat = (x_okf * y_okf * z_edge_for(Ms) *
-                              sm_refs[ty][0, 0])
-                consts = {}
-                consts.update(d_consts)
-                consts.update(s_consts)
-                runner = _KernelRunner(dcols, scat, dmaskf,
-                                       smaskf_cat, consts)
-                ctx = PlanePairContext(
-                    runner, kernel_obj, domain, radius_scale,
-                    set(p for p in d_const_list),
-                    set(p for p in s_const_list))
-                runner.ctx = ctx
-                written = _run_eqs(eqs, ctx, t, dt, written)
-                for prop, (op, val) in runner.acc.items():
-                    if prop in total:
-                        top, tval = total[prop]
-                        if op == 'sum':
-                            tval = tval + val
-                        elif op == 'max':
-                            tval = jnp.maximum(tval, val)
-                        else:
-                            tval = jnp.minimum(tval, val)
-                        total[prop] = (top, tval)
-                    else:
-                        total[prop] = (op, val)
+                    def _phase(ref=ref, s_props=s_props,
+                               s_consts=s_consts,
+                               s_const_list=s_const_list, eqs=eqs,
+                               smaskf_cat=smaskf_cat):
+                        def scat(prop):
+                            pi = s_props.index(prop)
+                            return ref[0, 0, 1 + pi]
 
-        for prop in out_props:
-            op, val = total[prop]
-            cur = out_refs[prop][0, 0]
+                        consts = {}
+                        consts.update(d_consts)
+                        consts.update(s_consts)
+                        runner = _KernelRunner(dcols, scat, dmaskf,
+                                               smaskf_cat, consts)
+                        ctx = PlanePairContext(
+                            runner, kernel_obj, domain, radius_scale,
+                            set(p for p in d_const_list),
+                            set(p for p in s_const_list))
+                        runner.ctx = ctx
+                        written[0] = _run_eqs(eqs, ctx, t, dt,
+                                              written[0])
+                        for prop, (op, val) in runner.acc.items():
+                            sref = scratch[out_idx[prop]]
+                            cur = sref[...]
+                            if op == 'sum':
+                                sref[...] = cur + val
+                            elif op == 'max':
+                                sref[...] = jnp.maximum(cur, val)
+                            else:
+                                sref[...] = jnp.minimum(cur, val)
+
+                    # skip phases with no candidate in this offset
+                    # view (obstacle/wall sources are empty in most
+                    # interior fluid blocks)
+                    pl.when(src_any)(_phase)
+
+        for po, prop in enumerate(out_props):
+            op = out_ops[prop]
+            cur = dcols[prop]
+            val = scratch[po][...]
             if op == 'sum':
                 new = cur + wmf * val
             elif op == 'max':
                 new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
             else:
                 new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
-            out_refs[prop][0, 0] = new
+            out_ref[0, 0, po] = new
 
 
 # ---------------------------------------------------------------------------
@@ -645,8 +674,11 @@ class _Plan(object):
 
     def execute(self, dest_store, spec, write_mask, t, dt,
                 interpret=None):
-        _execute_plan(self, dest_store, spec, write_mask, t, dt,
-                      interpret)
+        """Run the kernel; returns the traced block-overflow flag
+        (True -> more active blocks than the static A_max; the caller
+        surfaces it as diag['block_overflow'])."""
+        return _execute_plan(self, dest_store, spec, write_mask, t,
+                             dt, interpret)
 
 
 def plan_pair_phases(phases, dest_store, spec, kernel_obj, domain,
@@ -686,6 +718,15 @@ def plan_pair_phases(phases, dest_store, spec, kernel_obj, domain,
     for p in rec.out_ops:
         if not jnp.issubdtype(dest_store[p].dtype, jnp.floating):
             raise PallasIneligible('non-float accumulation on %r' % p)
+    # prop-stacked DMA blocks require one uniform dtype
+    fdt = dest_store.flat['x'].dtype
+    for p in set(rec.d_read) | set(rec.out_ops):
+        if dest_store.flat[p].dtype != fdt:
+            raise PallasIneligible('mixed-dtype dest prop %r' % p)
+    for (src_store, _), (s_read, _) in zip(phases, rec.sources):
+        for p in s_read:
+            if src_store.flat[p].dtype != fdt:
+                raise PallasIneligible('mixed-dtype src prop %r' % p)
     return _Plan(phases, rec, kernel_obj, domain, radius_scale)
 
 
@@ -752,35 +793,65 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
     dmf = dblock(jnp.where(dest_store.layout.slot_mask, 1.0,
                            0.0).astype(fdt))
 
+    # ---- active block list (sparse dispatch) -------------------------
+    # A block is active if any dest slot in it holds a particle; the
+    # grid walks only the first A_max entries of the activity-sorted
+    # block list (padding entries repeat the last active block: their
+    # compute is skipped).  A_max is a static fraction
+    # (GridSpec.block_fracs) of the B blocks; exceeding it raises
+    # diag['block_overflow'] and the solver re-jits with doubled caps.
+    B = nx * ny * n_zt
+    act_blk = jnp.max(dmf.reshape(nx, ny, n_zt, tz * Md),
+                      axis=3) > 0.0                      # (nx,ny,n_zt)
+    act_flat = act_blk.reshape(B)
+    frac = spec.block_frac_for(dest_store.schema.name)
+    A_max = B if frac >= 1.0 else min(
+        B, int(np.ceil(frac * B)) + 8)
+    n_act = jnp.sum(act_flat.astype(jnp.int32))
+    block_ovf = n_act > A_max
+    order = jnp.argsort(~act_flat).astype(jnp.int32)[:A_max]
+    last = order[jnp.clip(n_act - 1, 0, A_max - 1)]
+    ids = jnp.where(jnp.arange(A_max, dtype=jnp.int32) < n_act,
+                    order, last)
+    bi_pf = ids // (ny * n_zt)
+    bj_pf = (ids // n_zt) % ny
+    bz_pf = ids % n_zt
+    na_pf = jnp.minimum(n_act, A_max).reshape(1)
+
     d_const_list = sorted(rec.d_consts)
 
-    dest_spec = pl.BlockSpec((1, 1, tz, Md), lambda i, j, zt, k:
-                             (i, j, zt, 0))
-    const_map = lambda i, j, zt, k: (0, 0)  # noqa: E731
+    const_map = lambda a, bi, bj, bz, na: (0, 0)  # noqa: E731
+    dest_map = lambda a, bi, bj, bz, na: \
+        (bi[a], bj[a], 0, bz[a], 0)  # noqa: E731
 
     def _axis(v, n, wrap):
         # periodic axes wrap the stencil block index; non-periodic
         # ones clamp (the out-of-range offsets are edge-masked away)
         return jnp.mod(v, n) if wrap else jnp.clip(v, 0, n - 1)
 
-    def _src_map(i, j, zt, k, oy):
+    def _src_map(a, bi, bj, bz, na, ox, oy):
         # the z offset is pre-baked into the rolled arrays, so all
-        # three z views read the *current* z-tile
-        return (_axis(i + k - 1, nx, kper[0]),
-                _axis(j + oy, ny, kper[1]), zt, 0)
+        # views read the *current* z-tile
+        return (_axis(bi[a] + ox, nx, kper[0]),
+                _axis(bj[a] + oy, ny, kper[1]), 0, bz[a], 0)
 
-    # singleton y axis (1D/2D after the axis swap): the oy = +-1
+    # singleton axes (1D/2D after the axis swap): the +-1 offset
     # passes are fully edge-masked, skip them statically
     oys = (0,) if ny == 1 else (-1, 0, 1)
+    oxs = (0,) if nx == 1 else (-1, 0, 1)
 
-    ins = [scal, wmf, dmf]
+    # dest props as ONE prop-stacked block: plane 0 = write mask,
+    # 1 = slot mask, then d_props (see _pair_kernel docstring for the
+    # DMA-descriptor economics)
+    d_pack = jnp.stack([wmf, dmf] + [dblock(dest_store[p])
+                                     for p in d_props], axis=2)
+    d_ins = {p: d_pack[:, :, 2 + pi]
+             for pi, p in enumerate(d_props)}
+    ins = [scal, d_pack]
     in_specs = [
         pl.BlockSpec((1, 2), const_map),
-        dest_spec, dest_spec,
+        pl.BlockSpec((1, 1, 2 + len(d_props), tz, Md), dest_map),
     ]
-    for p in d_props:
-        ins.append(dblock(dest_store[p]))
-        in_specs.append(dest_spec)
     for p in d_const_list:
         c = jnp.asarray(dest_store[p]).reshape(1, -1)
         ins.append(c)
@@ -791,43 +862,53 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
     for (src_store, eqs), Ms, (s_read, s_consts) in zip(
             plan.phases, Mss, rec.sources):
         src_consts = set(src_store.schema.consts)
-        s_props = sorted((s_read | dep_props) - src_consts)
+        s_props = tuple(sorted((s_read | dep_props) - src_consts))
         s_const_list = sorted(s_consts)
-        src_specs = [pl.BlockSpec(
-            (1, 1, tz, 3 * Ms), functools.partial(_src_map, oy=oy))
-            for oy in oys]
         smf3 = sblock3(jnp.where(src_store.layout.slot_mask, 1.0,
                                  0.0).astype(fdt), Ms)
-        for ty in range(len(oys)):
-            ins.append(smf3)
-            in_specs.append(src_specs[ty])
-        for p in s_props:
-            sb3 = sblock3(src_store[p], Ms)
-            for ty in range(len(oys)):
-                ins.append(sb3)
-                in_specs.append(src_specs[ty])
+        s_pack = jnp.stack([smf3] + [sblock3(src_store[p], Ms)
+                                     for p in s_props], axis=2)
+        spec_blk = (1, 1, 1 + len(s_props), tz, 3 * Ms)
+        for oy in oys:
+            for ox in oxs:
+                ins.append(s_pack)
+                in_specs.append(pl.BlockSpec(
+                    spec_blk,
+                    functools.partial(_src_map, ox=ox, oy=oy)))
         for p in s_const_list:
             c = jnp.asarray(src_store[p]).reshape(1, -1)
             ins.append(c)
             in_specs.append(pl.BlockSpec(c.shape, const_map))
-        src_metas.append((tuple(s_props), tuple(s_const_list)))
+        src_metas.append((s_props, tuple(s_const_list)))
         eqs_list.append(eqs)
 
-    out_specs = [dest_spec for _ in out_props]
-    out_shape = [jax.ShapeDtypeStruct((nx, ny, nz_p, Md),
-                                      dest_store[p].dtype)
-                 for p in out_props]
+    Po = len(out_props)
+    out_spec = pl.BlockSpec((1, 1, Po, tz, Md), dest_map)
+    out_shape = jax.ShapeDtypeStruct((nx, ny, Po, nz_p, Md), fdt)
 
-    meta = (nx, ny, nz, tz, Md, oys, kper, tuple(d_props),
-            tuple(d_const_list), tuple(src_metas), tuple(out_props))
+    meta = (nx, ny, nz, tz, Md, oys, oxs, kper, tuple(d_props),
+            tuple(d_const_list), tuple(src_metas), tuple(out_props),
+            dict(rec.out_ops))
     kern = functools.partial(_pair_kernel, eqs_list, kernel_obj,
                              domain, radius_scale, meta)
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
-    outs = pl.pallas_call(
-        kern, grid=(nx, ny, n_zt, 3), in_specs=in_specs,
-        out_specs=out_specs, out_shape=out_shape,
-        interpret=interpret)(*ins)
-    for p, out in zip(out_props, outs):
+    from jax.experimental.pallas import tpu as pltpu
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4, grid=(A_max,), in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((tz, Md), fdt)
+                        for _ in out_props])
+    outp = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret)(bi_pf, bj_pf, bz_pf, na_pf, *ins)
+    # blocks with no dest particle are never visited: their out region
+    # is uninitialized — carry the pre-phase values through instead
+    act_exp = jnp.broadcast_to(
+        act_blk[:, :, :, None, None], (nx, ny, n_zt, tz, Md)).reshape(
+        nx, ny, nz_p, Md)
+    for po, p in enumerate(out_props):
+        out = jnp.where(act_exp, outp[:, :, po], d_ins[p])
         out = out[:, :, :nz, :] if nz_p != nz else out
         dest_store[p] = out.reshape(C * Md)
+    return block_ovf

@@ -407,6 +407,7 @@ class DistributedRunner(object):
         in_specs = ({n: specs[n] for n in gstates}, P(), P())
         diag_spec = {
             'cell_overflow': P(), 'extent_overflow': P(),
+            'block_overflow': P(),
             'exchange_overflow': P(), 'capacity_overflow': P(),
             'migration_multihop': P(),
         }

@@ -36,6 +36,16 @@ from pysph_tpu.sph.equation import (
     _AccumMax, _AccumMin, _method_args, get_arrays_used_in_equation)
 
 
+#: Overflow flags every diag dict carries (all False in steady state;
+#: any True -> the Solver grows the corresponding static capacity,
+#: re-jits, and redoes the step from the saved pre-step state).
+DIAG_KEYS = ('cell_overflow', 'extent_overflow', 'block_overflow')
+
+
+def empty_diag():
+    return {k: jnp.asarray(False) for k in DIAG_KEYS}
+
+
 class ArraySchema(NamedTuple):
     """Static metadata for one particle array's device state."""
     name: str
@@ -86,13 +96,16 @@ class SlotStore(object):
     writes are tracked and folded back into the flat state by
     ``finalize``.  Constants and ``n_act`` pass through untouched."""
 
-    def __init__(self, flat, layout, schema):
+    def __init__(self, flat, layout, schema, slot_hint=None):
         self.flat = dict(flat)
         self.layout = layout
         self.schema = schema
         self._consts = set(schema.consts) | {'n_act'}
         self.cache = {}
         self.dirty = set()
+        # props the pair phases will need in slot layout (everything
+        # else runs flat via FlatView); None = no hint, batch all
+        self.slot_hint = slot_hint
 
     def __contains__(self, key):
         return key in self.flat
@@ -103,13 +116,16 @@ class SlotStore(object):
         if key not in self.cache:
             arr = self.flat[key]
             if arr.ndim == 1:
-                # batch-convert every uncached 1D prop of this dtype:
-                # one (cap, P) row gather beats P near-scalar gathers
-                # ~7x on TPU (to_slots_many)
+                # batch-convert every uncached 1D prop of this dtype
+                # (restricted to the pair-phase hint when known): one
+                # (cap, P) row gather beats P near-scalar gathers ~7x
+                # on TPU (to_slots_many)
                 group = [k for k, v in self.flat.items()
                          if k not in self._consts and
                          k not in self.cache and v.ndim == 1 and
-                         v.dtype == arr.dtype]
+                         v.dtype == arr.dtype and
+                         (self.slot_hint is None or k == key or
+                          k in self.slot_hint)]
                 outs = to_slots_many(self.layout,
                                      [self.flat[k] for k in group])
                 for k, o in zip(group, outs):
@@ -143,6 +159,50 @@ class SlotStore(object):
                 self.flat[k] = o
         self.dirty = set()
         return self.flat
+
+
+class FlatView(object):
+    """Per-particle (flat) view over a SlotStore.
+
+    Particle phases (``initialize``, source-less ``loop``,
+    ``post_loop``, ``reduce``, ``initialize_pair``) are elementwise
+    per particle, so they run on the (cap,)-sized flat arrays instead
+    of the (n_cells * M,)-sized slot arrays — skipping both the slot
+    conversion and the padding blowup (slot space measured ~20x the
+    particle count at dam_break_3d dx=0.02).  Reads fold back any
+    prop a pair phase accumulated in slot space; writes invalidate
+    the slot-space copy."""
+
+    __slots__ = ('s',)
+
+    def __init__(self, slot_store):
+        self.s = slot_store
+
+    @property
+    def schema(self):
+        return self.s.schema
+
+    def __contains__(self, key):
+        return key in self.s.flat
+
+    def __getitem__(self, key):
+        s = self.s
+        if key in s._consts:
+            return s.flat[key]
+        if key in s.dirty:
+            # values agree after the fold, so the slot cache stays
+            s.flat[key] = from_slots(s.layout, s.cache[key],
+                                     s.flat[key])
+            s.dirty.discard(key)
+        return s.flat[key]
+
+    def __setitem__(self, key, value):
+        s = self.s
+        s.flat[key] = value
+        if key not in s._consts:
+            # the slot-space copy (if any) is stale now
+            s.cache.pop(key, None)
+            s.dirty.discard(key)
 
 
 class GridHandle(object):
@@ -514,7 +574,9 @@ def _bind_particle_phase(method, store, schema, write_mask, t, dt,
         elif arg == 'D_PIDX':
             layout = getattr(store, 'layout', None)
             if layout is None:
-                n = next(iter(store.values())).shape[0]
+                # flat stores (FlatView / stepper dicts): the row
+                # index IS the particle index
+                n = store['x'].shape[0]
                 kwargs[arg] = jnp.arange(n, dtype=jnp.int32)
             else:
                 kwargs[arg] = layout.slot_to_particle
@@ -667,7 +729,9 @@ class AccelerationEval(object):
             ref_pos[name] = jnp.stack([s['x'], s['y'], s['z']])
             cell_ovf = cell_ovf | lay.cell_overflow
             ext_ovf = ext_ovf | lay.extent_overflow
-        diag = {'cell_overflow': cell_ovf, 'extent_overflow': ext_ovf}
+        diag = empty_diag()
+        diag['cell_overflow'] = cell_ovf
+        diag['extent_overflow'] = ext_ovf
         return GridHandle(spec=spec, origin=origin, widths=widths,
                           layouts=layouts, ref_pos=ref_pos), diag
 
@@ -707,9 +771,7 @@ class AccelerationEval(object):
             return self.prepare(states)
 
         def keep(_):
-            diag = {'cell_overflow': jnp.asarray(False),
-                    'extent_overflow': jnp.asarray(False)}
-            return handle, diag
+            return handle, empty_diag()
 
         return jax.lax.cond(stale, rebuild, keep, None)
 
@@ -731,6 +793,15 @@ class AccelerationEval(object):
                                                   handle)
         return self._finalize(stores, states)
 
+    def _note_block_overflow(self, flag):
+        """OR a pallas active-block overflow into the loop diag (rides
+        the same redo-the-step path as cell/extent overflows)."""
+        if self._loop_diag is None:
+            self._loop_diag = empty_diag()
+        self._loop_diag = dict(self._loop_diag)
+        self._loop_diag['block_overflow'] = (
+            self._loop_diag['block_overflow'] | flag)
+
     def consume_loop_diag(self):
         """Overflow flags raised by in-group rebinning during the last
         ``compute`` (update_nnps groups and iterated groups re-bin
@@ -740,10 +811,65 @@ class AccelerationEval(object):
         return diag
 
     def _wrap(self, states, handle):
+        hints = self._slot_hints()
         return {name: SlotStore(states[name], handle.layouts[name],
-                                self.schemas[name])
+                                self.schemas[name],
+                                slot_hint=hints.get(name))
                 if name in handle.layouts else states[name]
                 for name in states}
+
+    def _slot_hints(self):
+        """Per-array set of props the pair phases touch in slot
+        layout.  Everything else runs flat (FlatView), so the batch
+        slot conversion skips it."""
+        if getattr(self, '_slot_hint_cache', None) is not None:
+            return self._slot_hint_cache
+        from pysph_tpu.ops.pallas_engine import _SYM_DEPS
+        base = ('x', 'y', 'z', 'h', 'tag')
+        hints = {}
+
+        def add(name, props):
+            hints.setdefault(name, set(base)).update(props)
+
+        def walk(items):
+            for item in items:
+                if isinstance(item, Group):
+                    walk(item.equations)
+                    continue
+                eq = item
+                srcs = tuple(eq.sources or ())
+                if not srcs:
+                    continue
+                add(eq.dest, ())
+                for fn in (getattr(eq, 'loop', None),
+                           getattr(eq, 'loop_all', None)):
+                    if fn is None:
+                        continue
+                    for arg in _method_args(fn):
+                        if arg in _SYM_DEPS:
+                            add(eq.dest, _SYM_DEPS[arg])
+                            for s in srcs:
+                                add(s, _SYM_DEPS[arg])
+                        elif arg.startswith('d_'):
+                            add(eq.dest, (arg[2:],))
+                        elif arg.startswith('s_'):
+                            for s in srcs:
+                                add(s, (arg[2:],))
+
+        def walk_groups(groups):
+            for g in groups:
+                walk(g.equations)
+                for bound in (g.start_idx, g.stop_idx):
+                    if isinstance(bound, str):
+                        for name in hints:
+                            hints[name].add(bound)
+                if g.has_subgroups:
+                    walk_groups([x for x in g.equations
+                                 if isinstance(x, Group)])
+
+        walk_groups(self.groups)
+        self._slot_hint_cache = hints
+        return hints
 
     def _finalize(self, stores, states):
         out = {}
@@ -759,8 +885,7 @@ class AccelerationEval(object):
             states = self._finalize(stores, None)
             if group.condition is not None:
                 cond = group.condition(t, dt)
-                diag0 = {'cell_overflow': jnp.asarray(False),
-                         'extent_overflow': jnp.asarray(False)}
+                diag0 = empty_diag()
 
                 def _run(s):
                     saved = self._loop_diag
@@ -825,8 +950,7 @@ class AccelerationEval(object):
             _, it, conv, _ = carry
             return (it < max_it) & ~(conv & (it >= min_it))
 
-        diag0 = {'cell_overflow': jnp.asarray(False),
-                 'extent_overflow': jnp.asarray(False)}
+        diag0 = empty_diag()
         init = (states, jnp.asarray(0, jnp.int32), jnp.asarray(False),
                 diag0)
         states, _, _, diag = jax.lax.while_loop(cond, body, init)
@@ -885,6 +1009,27 @@ class AccelerationEval(object):
                 mask = mask & (pid < stop)
         return mask
 
+    def _write_mask_flat(self, group, fstore):
+        """The same mask in flat particle space (flat order IS the
+        particle index, so start/stop bounds apply directly)."""
+        flat = fstore.s.flat
+        cap = flat['x'].shape[0]
+        pid = jnp.arange(cap, dtype=jnp.int32)
+        mask = pid < flat['n_act']
+        if group.real:
+            mask = mask & (fstore['tag'] == ParticleTAGS.Local)
+        start = group.start_idx
+        stop = group.stop_idx
+        if isinstance(start, str):
+            mask = mask & (pid >= fstore[start][0].astype(jnp.int32))
+        elif start not in (0, None):
+            mask = mask & (pid >= int(start))
+        if isinstance(stop, str):
+            mask = mask & (pid < fstore[stop][0].astype(jnp.int32))
+        elif stop is not None:
+            mask = mask & (pid < int(stop))
+        return mask
+
     def _pallas_plan(self, phases, store, handle):
         """Try to plan the (dest, sources) pair phases — fused into
         one kernel call — for the pallas engine
@@ -922,7 +1067,10 @@ class AccelerationEval(object):
         for dest, eqs in self._dest_order(group).items():
             schema = self.schemas[dest]
             store = stores[dest]
-            write_mask = self._write_mask(group, store)
+            is_slot = isinstance(store, SlotStore)
+            fstore = FlatView(store) if is_slot else store
+            fmask = (self._write_mask_flat(group, fstore) if is_slot
+                     else self._write_mask(group, store))
 
             for eq in eqs:
                 if hasattr(eq, 'py_initialize'):
@@ -934,18 +1082,21 @@ class AccelerationEval(object):
             for eq in eqs:
                 fn = getattr(eq, 'initialize', None)
                 if fn is not None:
-                    _bind_particle_phase(fn, store, schema, write_mask,
+                    _bind_particle_phase(fn, fstore, schema, fmask,
                                          t, dt, kernel)
             for eq in eqs:
                 if eq.no_source:
                     fn = getattr(eq, 'loop', None)
                     if fn is not None:
-                        _bind_particle_phase(fn, store, schema,
-                                             write_mask, t, dt, kernel)
+                        _bind_particle_phase(fn, fstore, schema,
+                                             fmask, t, dt, kernel)
             sources = OrderedDict()
             for eq in eqs:
                 for src in (eq.sources or ()):
                     sources.setdefault(src, []).append(eq)
+            # slot-space write mask only needed by pair phases
+            write_mask = (self._write_mask(group, store) if sources
+                          else None)
 
             # Fuse all of this dest's sources into ONE pallas call
             # when possible: launch overhead, dest DMA and output
@@ -960,7 +1111,8 @@ class AccelerationEval(object):
                      for src, src_eqs in sources.items()],
                     store, handle)
             if fused is not None:
-                fused.execute(store, handle.spec, write_mask, t, dt)
+                self._note_block_overflow(fused.execute(
+                    store, handle.spec, write_mask, t, dt))
                 sources = OrderedDict()
 
             for src, src_eqs in sources.items():
@@ -971,12 +1123,15 @@ class AccelerationEval(object):
                     fn = getattr(eq, 'initialize_pair', None)
                     if fn is not None:
                         _bind_particle_phase(
-                            fn, store, schema, write_mask, t, dt,
-                            kernel, src_store=src_store,
+                            fn, fstore, schema, fmask, t, dt,
+                            kernel,
+                            src_store=FlatView(src_store)
+                            if isinstance(src_store, SlotStore)
+                            else src_store,
                             src_schema=self.schemas[src])
                 if plan is not None:
-                    plan.execute(store, handle.spec, write_mask, t,
-                                 dt)
+                    self._note_block_overflow(plan.execute(
+                        store, handle.spec, write_mask, t, dt))
                     continue
                 stencil = StencilView(handle.spec, src_store.layout)
                 ctx = GridPairContext(
@@ -992,13 +1147,15 @@ class AccelerationEval(object):
             for eq in eqs:
                 fn = getattr(eq, 'post_loop', None)
                 if fn is not None:
-                    _bind_particle_phase(fn, store, schema, write_mask,
+                    _bind_particle_phase(fn, fstore, schema, fmask,
                                          t, dt, kernel)
             for eq in eqs:
                 fn = getattr(eq, 'reduce', None)
                 if fn is not None:
-                    view = ReduceView(store, schema, write_mask,
-                                      store.layout.slot_mask)
+                    cap = fstore['x'].shape[0]
+                    act = jnp.arange(cap, dtype=jnp.int32) < \
+                        fstore['n_act']
+                    view = ReduceView(fstore, schema, fmask, act)
                     fn(dst=view, t=t, dt=dt)
         if group.post is not None:
             group.post()

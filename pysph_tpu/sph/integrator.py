@@ -75,8 +75,8 @@ class Integrator(object):
     # Pure-functional entry points
     # ------------------------------------------------------------------
     def _fresh_diag(self):
-        return {'cell_overflow': jnp.asarray(False),
-                'extent_overflow': jnp.asarray(False)}
+        from pysph_tpu.sph.acceleration_eval import empty_diag
+        return empty_diag()
 
     def step(self, states, t, dt, nnps_carry=None):
         """Advance one timestep.
@@ -90,8 +90,8 @@ class Integrator(object):
         self._t = t
         self._dt = dt
         self._lists = {}
-        # distributed exchanges reshuffle particle order每 step; binning
-        # cannot be reused across steps there.
+        # distributed exchanges reshuffle particle order every step;
+        # binning cannot be reused across steps there.
         self._carry_in = None if self.parallel_manager is not None else \
             nnps_carry
         self._carry_out = dict(self._carry_in or {})

@@ -34,7 +34,8 @@ class SPHEvaluator(object):
         # iterated groups can grow h and overflow the grid repeatedly
         for _ in range(4):
             if not (bool(diag['cell_overflow']) or
-                    bool(diag['extent_overflow'])):
+                    bool(diag['extent_overflow']) or
+                    bool(diag.get('block_overflow', False))):
                 break
             self._create_nnps(self.arrays, grow=True)
             states = {}
@@ -61,7 +62,7 @@ class SPHEvaluator(object):
             radius_scale=self.kernel.radius_scale,
             domain=self.domain_manager)
         if grow:
-            spec = spec.grow(cells=True, extent=True)
+            spec = spec.grow(cells=True, extent=True, blocks=True)
         self.nnps = spec
         self.func_eval.set_nnps(spec)
         self._jit_eval = None
