@@ -103,13 +103,24 @@ class GridSpec(object):
     @classmethod
     def from_particles(cls, particle_arrays, dim, radius_scale,
                        domain=None, cell_capacity=None, pad=0.03,
-                       capacity_slack=1.3):
+                       capacity_slack=1.3, cell_slack=1.1):
         """Size the static grid from the initial particle distribution.
 
         ``pad`` adds headroom on non-periodic axes for domain growth;
         ``cell_capacity`` defaults to the measured max cell occupancy
         times ``capacity_slack``.  Overflows at runtime are detected and
-        the Solver grows + re-jits."""
+        the Solver grows + re-jits.
+
+        ``cell_slack`` scales the runtime cells above the kernel
+        support so the binning stays reusable within a step (Verlet
+        margin).  Capacity M is deliberately measured at the
+        UNSLACKED cell size: runtime cells hold up to cell_slack^3
+        more particles than measured, but real occupancy rarely
+        reaches the worst case and ``capacity_slack`` plus the
+        overflow-grow-redo path absorb it.  This optimistic M keeps
+        the pair-block candidate volume (~ 27 * M per dest slot)
+        ~cell_slack^3 smaller — measured faster than a consistently
+        provisioned M at both bench scales."""
         hmax = 0.0
         los = np.full(3, np.inf)
         his = np.full(3, -np.inf)
@@ -126,7 +137,10 @@ class GridSpec(object):
             his = np.maximum(his, xyz.max(axis=1))
         if hmax <= 0.0:
             raise ValueError('cannot size a grid: no particles or h==0')
+        # occupancy/activity measured at the unslacked support cell
+        # (see docstring); dims sized for the larger runtime cell
         cell = radius_scale * hmax
+        cell_run = cell_slack * radius_scale * hmax
         per = (domain.periodic if domain is not None
                else (False, False, False))
         dims = []
@@ -135,11 +149,11 @@ class GridSpec(object):
                 dims.append(1)
             elif per[d]:
                 L = domain.lengths[d]
-                dims.append(max(int(np.floor(L / cell)), 1))
+                dims.append(max(int(np.floor(L / cell_run)), 1))
             else:
-                extent = max(his[d] - los[d], cell)
-                dims.append(int(np.ceil(extent * (1 + 2 * pad) / cell))
-                            + 3)
+                extent = max(his[d] - los[d], cell_run)
+                dims.append(int(np.ceil(
+                    extent * (1 + 2 * pad) / cell_run)) + 3)
         capacities = {}
         if cell_capacity is None:
             # Measure the worst initial cell occupancy per array.  The
@@ -147,40 +161,52 @@ class GridSpec(object):
             # particle cloud, and each distributed block aligns to its
             # own minimum), so sample several half-cell-shifted
             # alignments and take the worst.
-            shifts = [np.zeros(3)]
-            for d in range(dim):
-                shifts += [s + 0.5 * cell * np.eye(3)[d]
-                           for s in list(shifts)]
             names = [pa.name for pa in particle_arrays
                      if pa.get_number_of_particles() > 0]
             block_fracs = {}
+
+            def cell_ids(xyz, width, shift, clip_dims):
+                cs = []
+                for d in range(3):
+                    if d >= dim:
+                        cs.append(np.zeros(xyz.shape[1], np.int64))
+                    else:
+                        ci = np.floor((xyz[d] - los[d] + shift[d])
+                                      / width).astype(np.int64)
+                        cs.append(np.clip(ci, 0,
+                                          clip_dims[d] - 1))
+                return cs
+
+            # measurement grid for occupancy (unslacked cells)
+            dims_meas = [max(1, int(np.ceil(
+                max(his[d] - los[d], cell) / cell)) + 1)
+                if d < dim else 1 for d in range(3)]
             for name, xyz in zip(names, coords):
                 occ = 0
                 frac = 0.0
-                for shift in shifts:
-                    cs = []
-                    for d in range(3):
-                        if d >= dim:
-                            cs.append(np.zeros(xyz.shape[1], np.int64))
-                        else:
-                            ci = np.floor((xyz[d] - los[d] + shift[d])
-                                          / cell).astype(np.int64)
-                            cs.append(np.clip(ci, 0, dims[d] - 1))
-                    flat = ((cs[0] * dims[1] + cs[1]) * dims[2] +
-                            cs[2])
+                for k in range(2 ** dim):
+                    shift = np.array([0.5 * cell * ((k >> d) & 1)
+                                      for d in range(3)])
+                    cs = cell_ids(xyz, cell, shift, dims_meas)
+                    flat = ((cs[0] * dims_meas[1] + cs[1]) *
+                            dims_meas[2] + cs[2])
                     occ = max(occ, int(np.bincount(flat).max()))
                     # Active-(x, y, z-tile)-block fraction for the
-                    # sparse pallas dispatch (tz=8 matches the usual
-                    # kernel tile; the engine's 1D/2D axis swap makes
-                    # the middle axis the tiled one when nz == 1).
+                    # sparse pallas dispatch, on the RUNTIME grid
+                    # (tz=8 matches the usual kernel tile; the
+                    # engine's 1D/2D axis swap makes the middle axis
+                    # the tiled one when nz == 1).
+                    cr = cell_ids(xyz, cell_run,
+                                  shift * (cell_run / cell), dims)
                     tz = 8
                     if dims[2] == 1:
-                        blk = cs[0] * (-(-dims[1] // tz)) + cs[1] // tz
+                        blk = cr[0] * (-(-dims[1] // tz)) + \
+                            cr[1] // tz
                         n_blk = dims[0] * -(-dims[1] // tz)
                     else:
                         nzt = -(-dims[2] // tz)
-                        blk = (cs[0] * dims[1] + cs[1]) * nzt + \
-                            cs[2] // tz
+                        blk = (cr[0] * dims[1] + cr[1]) * nzt + \
+                            cr[2] // tz
                         n_blk = dims[0] * dims[1] * nzt
                     frac = max(frac,
                                len(np.unique(blk)) / float(n_blk))
@@ -194,8 +220,8 @@ class GridSpec(object):
         else:
             block_fracs = None
         return cls(dim, radius_scale, tuple(dims), cell_capacity,
-                   domain, capacities=capacities,
-                   block_fracs=block_fracs)
+                   domain, cell_slack=cell_slack,
+                   capacities=capacities, block_fracs=block_fracs)
 
     def grow(self, cells=False, extent=False, blocks=False, factor=2):
         """Return a larger spec after an overflow."""
@@ -211,8 +237,8 @@ class GridSpec(object):
         if blocks:
             fracs = {k: min(1.0, v * 2) for k, v in fracs.items()}
         return GridSpec(self.dim, self.radius_scale, dims, M,
-                        self.domain, capacities=caps,
-                        block_fracs=fracs)
+                        self.domain, cell_slack=self.cell_slack,
+                        capacities=caps, block_fracs=fracs)
 
     # ------------------------------------------------------------------
     def geometry(self, states):

@@ -516,13 +516,20 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
     # same correct values written at its real visit.
     occ = valid & (jnp.sum(wmf * dmaskf) > 0.0)
 
-    @pl.when(occ)
-    def _compute():
+    # scratch init + final write run for EVERY valid block (a block
+    # whose write mask is all-zero — e.g. pure-ghost blocks of a real
+    # group — must still flush its identity output, not VMEM garbage);
+    # only the pair compute is gated on writability.
+    @pl.when(valid)
+    def _init_scratch():
         neutral = {'sum': 0.0, 'max': -jnp.inf, 'min': jnp.inf}
         for po, prop in enumerate(out_props):
             scratch[po][...] = jnp.full(
                 scratch[po].shape, neutral[out_ops[prop]],
                 scratch[po].dtype)
+
+    @pl.when(occ)
+    def _compute():
         out_idx = {p: po for po, p in enumerate(out_props)}
 
         for oy in oys:
@@ -586,6 +593,8 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
                     # interior fluid blocks)
                     pl.when(src_any)(_phase)
 
+    @pl.when(valid)
+    def _writeback():
         for po, prop in enumerate(out_props):
             op = out_ops[prop]
             cur = dcols[prop]
@@ -801,22 +810,38 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
     # (GridSpec.block_fracs) of the B blocks; exceeding it raises
     # diag['block_overflow'] and the solver re-jits with doubled caps.
     B = nx * ny * n_zt
-    act_blk = jnp.max(dmf.reshape(nx, ny, n_zt, tz * Md),
-                      axis=3) > 0.0                      # (nx,ny,n_zt)
-    act_flat = act_blk.reshape(B)
     frac = spec.block_frac_for(dest_store.schema.name)
-    A_max = B if frac >= 1.0 else min(
-        B, int(np.ceil(frac * B)) + 8)
-    n_act = jnp.sum(act_flat.astype(jnp.int32))
-    block_ovf = n_act > A_max
-    order = jnp.argsort(~act_flat).astype(jnp.int32)[:A_max]
-    last = order[jnp.clip(n_act - 1, 0, A_max - 1)]
-    ids = jnp.where(jnp.arange(A_max, dtype=jnp.int32) < n_act,
-                    order, last)
-    bi_pf = ids // (ny * n_zt)
-    bj_pf = (ids // n_zt) % ny
-    bz_pf = ids % n_zt
-    na_pf = jnp.minimum(n_act, A_max).reshape(1)
+    if frac >= 1.0:
+        # dense: every block visited in order — no activity sort, and
+        # no post-kernel combine (every output block is written)
+        A_max = B
+        ids_np = np.arange(B, dtype=np.int32)
+        bi_pf = jnp.asarray(ids_np // (ny * n_zt))
+        bj_pf = jnp.asarray((ids_np // n_zt) % ny)
+        bz_pf = jnp.asarray(ids_np % n_zt)
+        na_pf = jnp.asarray([B], jnp.int32)
+        block_ovf = jnp.asarray(False)
+        act_exp = None
+    else:
+        act_blk = jnp.max(dmf.reshape(nx, ny, n_zt, tz * Md),
+                          axis=3) > 0.0                  # (nx,ny,n_zt)
+        act_flat = act_blk.reshape(B)
+        A_max = min(B, int(np.ceil(frac * B)) + 8)
+        n_act = jnp.sum(act_flat.astype(jnp.int32))
+        block_ovf = n_act > A_max
+        order = jnp.argsort(~act_flat).astype(jnp.int32)[:A_max]
+        last = order[jnp.clip(n_act - 1, 0, A_max - 1)]
+        ids = jnp.where(jnp.arange(A_max, dtype=jnp.int32) < n_act,
+                        order, last)
+        bi_pf = ids // (ny * n_zt)
+        bj_pf = (ids // n_zt) % ny
+        bz_pf = ids % n_zt
+        na_pf = jnp.minimum(n_act, A_max).reshape(1)
+        # blocks with no dest particle are never visited: their out
+        # region is uninitialized — carry the pre-phase values through
+        act_exp = jnp.broadcast_to(
+            act_blk[:, :, :, None, None],
+            (nx, ny, n_zt, tz, Md)).reshape(nx, ny, nz_p, Md)
 
     d_const_list = sorted(rec.d_consts)
 
@@ -902,13 +927,10 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
     outp = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret)(bi_pf, bj_pf, bz_pf, na_pf, *ins)
-    # blocks with no dest particle are never visited: their out region
-    # is uninitialized — carry the pre-phase values through instead
-    act_exp = jnp.broadcast_to(
-        act_blk[:, :, :, None, None], (nx, ny, n_zt, tz, Md)).reshape(
-        nx, ny, nz_p, Md)
     for po, p in enumerate(out_props):
-        out = jnp.where(act_exp, outp[:, :, po], d_ins[p])
+        out = outp[:, :, po]
+        if act_exp is not None:
+            out = jnp.where(act_exp, out, d_ins[p])
         out = out[:, :, :nz, :] if nz_p != nz else out
         dest_store[p] = out.reshape(C * Md)
     return block_ovf

@@ -162,3 +162,38 @@ def test_max_accumulation_parity():
     ]
     _compare(2, [pa], equations, CubicSpline(dim=2),
              ('au', 'av', 'dt_cfl'))
+
+
+def test_unwritable_block_keeps_values():
+    """A visited block whose write mask is all-zero (e.g. every
+    particle in it is a ghost during a real group) must flush the
+    identity output, not uninitialized VMEM."""
+    import jax
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.base.particle_array import ParticleTAGS
+    from pysph_tpu.sph.basic_equations import ContinuityEquation
+    from pysph_tpu.sph.equation import Group
+
+    pa = _wcsph_fluid(2, n=150)
+    # everything on the right half is a ghost: whole blocks become
+    # active-but-unwritable for the real group
+    tag = np.where(np.asarray(pa.x) > 0.5, ParticleTAGS.Ghost,
+                   ParticleTAGS.Local)
+    pa.tag[:] = tag
+    pa.arho[:] = 7.5  # sentinel pre-phase value
+    kernel = CubicSpline(dim=2)
+    eqs = [Group(equations=[ContinuityEquation('fluid', ['fluid'])],
+                 real=True)]
+    states = {'fluid': pa.to_device()[0]}
+    cfg = get_config()
+    cfg.use_pallas = True
+    try:
+        out = _run(_make_eval(2, [pa], eqs, kernel), states)
+    finally:
+        cfg.use_pallas = False
+    n = pa.get_number_of_particles()
+    arho = np.asarray(out['fluid']['arho'])[:n]
+    ghosts = tag == ParticleTAGS.Ghost
+    assert np.all(arho[ghosts] == 7.5), \
+        arho[ghosts][arho[ghosts] != 7.5][:5]
+    assert np.all(np.isfinite(arho))
