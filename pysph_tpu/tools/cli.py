@@ -41,8 +41,8 @@ def manage_cache(args):
 
 
 def run_viewer(args):
-    print('The interactive viewer is not bundled; convert outputs '
-          'with `pysph dump_vtk` and open them in ParaView.')
+    from pysph_tpu.tools.viewer import main
+    main(args)
 
 
 COMMANDS = {

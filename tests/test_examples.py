@@ -29,6 +29,21 @@ EXAMPLES = [
      ['--n', '12']),
     ('pysph_tpu.examples.sedov', 'SedovPointExplosion',
      ['--nx', '31']),
+    ('pysph_tpu.examples.rayleigh_taylor', 'RayleighTaylor', []),
+    ('pysph_tpu.examples.two_blocks', 'TwoBlocks', []),
+    ('pysph_tpu.examples.elliptical_drop_simple', 'EllipticalDrop',
+     []),
+    ('pysph_tpu.examples.periodic_cylinders', 'PeriodicCylinders',
+     []),
+    ('pysph_tpu.examples.sloshing_tank_horizontal', 'SloshingTank',
+     ['--dx', '0.02']),
+    ('pysph_tpu.examples.oscillating_plate', 'OscillatingPlate', []),
+    ('pysph_tpu.examples.square_droplet', 'SquareDroplet', []),
+    ('pysph_tpu.examples.noh', 'NohImplosion', ['--nx', '24']),
+    ('pysph_tpu.examples.acoustic_wave', 'AcousticWave',
+     ['--nparticles', '64']),
+    ('pysph_tpu.examples.rectangular_dambreak', 'RectangularDamBreak',
+     ['--dx', '0.1']),
 ]
 
 

@@ -128,3 +128,76 @@ def test_shift_equations_run():
         dim=2, kernel=CubicSpline(dim=2))
     ev2.evaluate(dt=1e-3)
     assert np.all(np.isfinite(pa2.x))
+
+
+def test_gmsh_msh_reader(tmp_path):
+    from pysph_tpu.tools.gmsh import msh_file_to_points, read_msh
+    msh = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 0 1 0
+4 0 0 1
+$EndNodes
+$Elements
+2
+1 2 2 0 1 1 2 3
+2 4 2 0 1 1 2 3 4
+$EndElements
+"""
+    f = tmp_path / 'box.msh'
+    f.write_text(msh)
+    pts, cells = read_msh(str(f))
+    assert pts.shape == (4, 3)
+    assert sorted(t for t, _ in cells) == [2, 4]
+    x, y, z = msh_file_to_points(str(f))
+    assert x.shape == (6,)  # 4 vertices + 2 centroids
+
+
+def test_vtk_points_reader(tmp_path):
+    from pysph_tpu.tools.gmsh import vtk_file_to_points
+    vtk = """# vtk DataFile Version 3.0
+points
+ASCII
+DATASET POLYDATA
+POINTS 3 float
+0 0 0
+1 0 0
+0 1 0
+"""
+    f = tmp_path / 'pts.vtk'
+    f.write_text(vtk)
+    x, y, z = vtk_file_to_points(str(f))
+    assert x.shape == (3,)
+    assert x[1] == 1.0
+
+
+def test_viewer_writes_frames(tmp_path):
+    import numpy as np
+
+    from pysph_tpu.base.utils import get_particle_array
+    from pysph_tpu.solver.output import dump
+    from pysph_tpu.tools.viewer import view, _output_files
+    pa = get_particle_array(name='fluid', x=np.arange(10.0),
+                            y=np.zeros(10))
+    for i in range(2):
+        dump(str(tmp_path / ('case_%d.npz' % i)), [pa],
+             {'t': 0.1 * i, 'dt': 0.1, 'count': i})
+    files = _output_files(str(tmp_path))
+    assert len(files) == 2
+    view(files, prop='x', save_dir=str(tmp_path / 'frames'),
+         show=False)
+    import glob
+    assert len(glob.glob(str(tmp_path / 'frames' / '*.png'))) == 2
+
+
+def test_packer_region():
+    import numpy as np
+
+    from pysph_tpu.tools.packer import pack_region
+    x, y, z = pack_region(0.1, (0, 1, 0, 1), dim=2, n_steps=3)
+    assert np.isfinite(x).all()
+    assert x.size > 50
