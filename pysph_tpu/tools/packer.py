@@ -68,10 +68,11 @@ def pack_mesh(stl_file, dx, hdx=1.2, rho=1000.0, n_steps=200,
     if cache_file is not None and os.path.exists(cache_file):
         data = np.load(cache_file)
         return data['x'], data['y'], data['z']
-    from pysph_tpu.tools.mesh_tools import fill_volume
-    from pysph_tpu.tools.read_mesh import mesh2points
-    sx, sy, sz = mesh2points(stl_file, dx)
-    fx, fy, fz = fill_volume(sx, sy, sz, dx)
+    from pysph_tpu.tools.mesh_tools import fill_volume_mesh
+    from pysph_tpu.tools.read_mesh import Mesh
+    mesh = Mesh(stl_file).read()
+    fx, fy, fz = fill_volume_mesh(mesh.x, mesh.y, mesh.z, mesh.cells,
+                                  dx)
     bound = (fx.min() - dx, fx.max() + dx, fy.min() - dx,
              fy.max() + dx, fz.min() - dx, fz.max() + dx)
     inside = _nearest_inside(fx, fy, fz, dx)

@@ -201,3 +201,48 @@ def test_packer_region():
     x, y, z = pack_region(0.1, (0, 1, 0, 1), dim=2, n_steps=3)
     assert np.isfinite(x).all()
     assert x.size > 50
+
+
+def test_native_mesh_fill_cube():
+    """Native C++ (or numpy fallback) surface sampling + ray-parity
+    fill on a closed unit cube."""
+    import numpy as np
+
+    from pysph_tpu.tools.mesh_tools import (
+        fill_volume_mesh, surface_points)
+    # 12-triangle unit cube
+    v = np.array([[x, y, z] for x in (0.0, 1.0) for y in (0.0, 1.0)
+                  for z in (0.0, 1.0)])
+    quads = [
+        (0, 1, 3, 2), (4, 6, 7, 5),   # x- and x+ faces
+        (0, 4, 5, 1), (2, 3, 7, 6),   # y- and y+
+        (0, 2, 6, 4), (1, 5, 7, 3),   # z- and z+
+    ]
+    tris = []
+    for a, b, c, d in quads:
+        tris += [(a, b, c), (a, c, d)]
+    tris = np.asarray(tris, np.int64)
+
+    x, y, z = surface_points(v[:, 0], v[:, 1], v[:, 2], tris, 0.25)
+    assert x.size > 50
+    # sampled points lie on the cube surface
+    on = ((np.isclose(x, 0) | np.isclose(x, 1)) |
+          (np.isclose(y, 0) | np.isclose(y, 1)) |
+          (np.isclose(z, 0) | np.isclose(z, 1)))
+    assert on.all()
+
+    fx, fy, fz = fill_volume_mesh(v[:, 0], v[:, 1], v[:, 2], tris,
+                                  0.25)
+    assert fx.size > 0
+    assert (fx >= -1e-9).all() and (fx <= 1 + 1e-9).all()
+    assert (fz >= -1e-9).all() and (fz <= 1 + 1e-9).all()
+    # the fill covers the interior: ~5^3 lattice points
+    assert 60 <= fx.size <= 200
+
+
+def test_native_lib_builds():
+    from pysph_tpu import native
+    lib = native.get_lib()
+    # the toolchain exists in this image, so the native path should
+    # actually be exercised
+    assert lib is not None
