@@ -434,7 +434,10 @@ class ParticleArray(object):
             if name == 'n_act':
                 continue
             if name in self.constants:
-                self.constants[name] = np.asarray(dev)
+                # np.array (not asarray): views of jax arrays are
+                # read-only, but host code mutates constants (e.g.
+                # the hybrid inlet's uref relaxation)
+                self.constants[name] = np.array(dev)
                 continue
             if name not in self.properties:
                 continue

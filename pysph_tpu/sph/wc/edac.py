@@ -477,6 +477,7 @@ class EDACScheme(Scheme):
                 steppers[fluid] = step_cls()
         iom = self.inlet_outlet_manager
         if iom is not None:
+            iom.setup_iom(dim=self.dim, kernel=kernel)
             iom_stepper = iom.get_stepper(self, cls, self.use_tvf)
             for name in iom_stepper:
                 steppers[name] = iom_stepper[name]

@@ -44,6 +44,14 @@ EXAMPLES = [
      ['--nparticles', '64']),
     ('pysph_tpu.examples.rectangular_dambreak', 'RectangularDamBreak',
      ['--dx', '0.1']),
+    ('pysph_tpu.examples.flow_past_cylinder_2d', 'WindTunnel',
+     ['--nx', '6', '--lt', '10', '--wt', '6']),
+    ('pysph_tpu.examples.flow_past_cylinder_2d', 'WindTunnel',
+     ['--nx', '6', '--lt', '10', '--wt', '6', '--io-method',
+      'mirror']),
+    ('pysph_tpu.examples.flow_past_cylinder_2d', 'WindTunnel',
+     ['--nx', '6', '--lt', '10', '--wt', '6', '--io-method',
+      'hybrid']),
 ]
 
 
