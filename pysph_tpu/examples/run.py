@@ -42,7 +42,8 @@ def example_info(module, filename):
 def get_all_examples():
     examples = []
     ignore = [os.path.abspath(os.path.join(HERE, f))
-              for f in ('run.py', 'db_geometry.py')]
+              for f in ('run.py', 'db_geometry.py',
+                        'shocktube_setup.py')]
     for dirpath, dirs, files in os.walk(HERE):
         rel_dir = os.path.relpath(dirpath, HERE)
         if rel_dir == '.':

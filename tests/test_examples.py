@@ -52,6 +52,8 @@ EXAMPLES = [
     ('pysph_tpu.examples.flow_past_cylinder_2d', 'WindTunnel',
      ['--nx', '6', '--lt', '10', '--wt', '6', '--io-method',
       'hybrid']),
+    ('pysph_tpu.examples.blastwave', 'Blastwave', ['--nl', '80']),
+    ('pysph_tpu.examples.wallshock', 'WallShock', ['--nl', '80']),
 ]
 
 
