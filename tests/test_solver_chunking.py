@@ -50,3 +50,46 @@ def test_chunked_lands_on_output_times():
     assert abs(t1 - t5) < 1e-8 * max(t1, 1e-30)
     assert np.allclose(x1, x5, rtol=1e-4, atol=1e-6)
     assert np.allclose(u1, u5, rtol=1e-3, atol=1e-4)
+
+
+def test_block_overflow_grows_and_recovers():
+    """An undersized active-block cap must raise
+    diag['block_overflow'], double the caps, re-jit and redo — the
+    trajectory must match an amply-capped run.  (Pallas interpret
+    mode exercises the sparse dispatch on CPU.)"""
+    from pysph_tpu.config import get_config
+
+    def run(tighten):
+        from pysph_tpu.examples.elliptical_drop import EllipticalDrop
+        tmpdir = tempfile.mkdtemp()
+        old_argv = sys.argv
+        cfg = get_config()
+        try:
+            sys.argv = ['elliptical_drop']
+            app = EllipticalDrop()
+            cfg.use_pallas = True
+            app.setup(['--nx', '30', '--max-steps', '6', '-q',
+                       '--disable-output', '-d', tmpdir])
+            spec = app.solver.nnps
+            if tighten:
+                # far below the real activity -> guaranteed overflow
+                spec.block_fracs = {k: 0.01
+                                    for k in spec.block_fracs} or \
+                    {'fluid': 0.01}
+                app.solver.integrator.set_nnps(spec)
+                app.solver._make_jits()
+            app.solve()
+            pa = app.particles[0]
+            grown = app.solver.nnps.block_fracs
+            return np.asarray(pa.x), np.asarray(pa.rho), grown
+        finally:
+            cfg.use_pallas = False
+            sys.argv = old_argv
+            shutil.rmtree(tmpdir, ignore_errors=True)
+
+    x_ref, r_ref, _ = run(tighten=False)
+    x_t, r_t, grown = run(tighten=True)
+    # the caps must have grown past the artificial 0.01
+    assert all(v > 0.01 for v in grown.values())
+    assert np.allclose(x_ref, x_t, rtol=1e-6, atol=1e-9)
+    assert np.allclose(r_ref, r_t, rtol=1e-6, atol=1e-9)
