@@ -54,6 +54,8 @@ EXAMPLES = [
       'hybrid']),
     ('pysph_tpu.examples.blastwave', 'Blastwave', ['--nl', '80']),
     ('pysph_tpu.examples.wallshock', 'WallShock', ['--nl', '80']),
+    ('pysph_tpu.examples.sjogreen', 'SjoGreen', ['--nl', '80']),
+    ('pysph_tpu.examples.robert', 'Robert', ['--nl', '80']),
 ]
 
 
