@@ -59,6 +59,7 @@ EXAMPLES = [
 ]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('module,cls,extra', EXAMPLES)
 def test_example_runs(module, cls, extra):
     mod = importlib.import_module(module)
