@@ -3,29 +3,37 @@
 The TPU-native replacement for the reference's MPI + Zoltan stack
 (/root/reference/pysph/parallel/parallel_manager.pyx): instead of dynamic
 Zoltan cell partitions with ZComm unstructured sends, the domain is split
-into ``n_devices`` static slabs along one axis; each device owns the
-particles in its slab with fixed local capacity, and all communication is
-``jax.lax.ppermute`` of fixed-width packed buffers inside ``shard_map``:
+into a static 1/2/3-D grid of equal blocks; each device owns the
+particles in its block with fixed local capacity, and all communication
+is ``jax.lax.ppermute`` of fixed-width packed buffers inside
+``shard_map``, dimension-ordered (x, then y, then z) so corner/edge
+neighbors are reached through two axis-aligned hops:
 
 - **Migration** (analog of ``lb_exchange_data``, parallel_manager.pyx:100):
-  particles that crossed into a neighboring slab are packed and ring-
-  shifted to the adjacent device; CFL limits movement to one slab/step.
+  particles that crossed into a neighboring block are packed and ring-
+  shifted one hop along each axis in turn; a bounded ``lax.while_loop``
+  repeats each axis pass until no stray remains (multi-hop — fast
+  particles or small blocks), so ownership is exact after every update.
 - **Halo exchange** (analog of ``remote_exchange_data``/ghost layers,
   parallel_manager.pyx:159,1159): particles within the interaction radius
-  of a slab face are copied to the neighbor, appended after the locals and
-  tagged Remote; ``BlockExchange.update`` refreshes halos before *every*
-  acceleration evaluation, exactly like ``parallel_manager.update()`` in
-  the reference integrator hook (sph/integrator.py:274-281).
-- Periodic domains wrap the ring and shift coordinates by the box length,
+  of a block face are copied to the face neighbor, appended after the
+  locals and tagged Remote.  Later axes include the halos already
+  received from earlier axes, which populates edge/corner ghosts exactly
+  like the reference's cell-based halo export.  ``BlockExchange.update``
+  refreshes halos before *every* acceleration evaluation, mirroring
+  ``parallel_manager.update()`` in the reference integrator hook
+  (sph/integrator.py:274-281).
+- Periodic axes wrap the ring and shift coordinates by the box length,
   so the per-device problem is plain non-periodic.
-- The adaptive dt is combined with ``lax.pmin`` (analog of
-  ``update_time_steps``, parallel_manager.pyx:454).
+- The adaptive dt is combined with ``lax.pmin`` over the whole mesh
+  (analog of ``update_time_steps``, parallel_manager.pyx:454).
 
-Capacity overflows (local slab fuller than capacity, or more migrants/halo
-particles than buffer width) are detected and reported via diag flags.
+Capacity overflows (local block fuller than capacity, more migrants/halo
+particles than the exchange buffer width, or an inner-grid overflow) are
+detected and reported via diag flags; ``DistributedRunner.step_checked``
+mirrors the single-chip Solver's recovery: double the overflowed
+capacity, re-jit, and redo the step from the saved pre-step state.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +43,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pysph_tpu.base.particle_array import ParticleTAGS
 
 INT_MAX = np.int32(2 ** 31 - 1)
+
+#: every diag dict of a distributed step carries these flags
+EXCHANGE_DIAG_KEYS = ('exchange_overflow', 'capacity_overflow',
+                      'migration_multihop', 'halo_width_overflow')
 
 
 def _select_rows(state, prop_names, cond, capacity):
@@ -98,25 +110,106 @@ def _insert_rows(state, prop_names, packed, count, at, tag):
     return out, overflow
 
 
-class BlockPartition(object):
-    """Static equal-width slabs along one coordinate axis."""
+def _as_tuple(v, n, cast=float):
+    if np.isscalar(v) or isinstance(v, str):
+        return (cast(v),) * n
+    t = tuple(cast(x) for x in v)
+    if len(t) != n:
+        raise ValueError('expected %d values, got %r' % (n, v))
+    return t
 
-    def __init__(self, n_blocks, lo, hi, axis='x', periodic=False,
-                 halo_factor=1.1, buffer_capacity=None):
-        self.n_blocks = int(n_blocks)
-        self.lo = float(lo)
-        self.hi = float(hi)
-        self.axis = axis
-        self.periodic = bool(periodic)
+
+class BlockPartition(object):
+    """Static grid of equal blocks over 1, 2 or 3 coordinate axes.
+
+    1-D (backward-compatible)::
+
+        BlockPartition(8, 0.0, 2.0, axis='x')
+
+    multi-axis::
+
+        BlockPartition((4, 2), lo=(0.0, 0.0), hi=(2.0, 1.0),
+                       axes=('x', 'y'), periodic=(False, True))
+
+    Block (i, j, k) owns ``[lo + i*w, lo + (i+1)*w)`` per axis; the flat
+    block index ravels in C order, matching the device-mesh layout of
+    ``DistributedRunner``.
+    """
+
+    def __init__(self, shape, lo, hi, axis='x', axes=None,
+                 periodic=False, halo_factor=1.1,
+                 buffer_capacity=None):
+        if np.isscalar(shape):
+            shape = (int(shape),)
+        self.shape = tuple(int(s) for s in shape)
+        ndim = len(self.shape)
+        if axes is None:
+            axes = (axis,) if ndim == 1 else ('x', 'y', 'z')[:ndim]
+        self.axes = tuple(axes)
+        self.los = _as_tuple(lo, ndim)
+        self.his = _as_tuple(hi, ndim)
+        self.periodics = _as_tuple(periodic, ndim, cast=bool)
         self.halo_factor = float(halo_factor)
-        self.width = (self.hi - self.lo) / self.n_blocks
+        self.widths = tuple((h - l) / s for l, h, s in
+                            zip(self.los, self.his, self.shape))
+        self.n_blocks = int(np.prod(self.shape))
         self.buffer_capacity = buffer_capacity
+        for s, per in zip(self.shape, self.periodics):
+            if per and s == 1:
+                raise ValueError(
+                    'a periodic partition axis needs >= 2 blocks '
+                    '(single-block periodicity belongs to the '
+                    'DomainManager, not the partition)')
+
+    # ---- 1-D backward-compat aliases ---------------------------------
+    @property
+    def axis(self):
+        return self.axes[0]
+
+    @property
+    def lo(self):
+        return self.los[0]
+
+    @property
+    def hi(self):
+        return self.his[0]
+
+    @property
+    def width(self):
+        return self.widths[0]
+
+    @property
+    def periodic(self):
+        return self.periodics[0]
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    def block_of_axis(self, a, coord):
+        b = jnp.floor((coord - self.los[a]) /
+                      self.widths[a]).astype(jnp.int32)
+        if self.periodics[a]:
+            return jnp.mod(b, self.shape[a])
+        return jnp.clip(b, 0, self.shape[a] - 1)
 
     def block_of(self, coord):
-        b = jnp.floor((coord - self.lo) / self.width).astype(jnp.int32)
-        if self.periodic:
-            return jnp.mod(b, self.n_blocks)
-        return jnp.clip(b, 0, self.n_blocks - 1)
+        """1-D compat: block index along the first axis."""
+        return self.block_of_axis(0, coord)
+
+    def block_of_np(self, pa_coords):
+        """Flat (C-order) block index per particle from a list of
+        numpy coordinate arrays (host-side, for distribute())."""
+        flat = np.zeros(pa_coords[0].shape, dtype=np.int64)
+        for a in range(self.ndim):
+            b = np.floor((pa_coords[a] - self.los[a]) /
+                         self.widths[a]).astype(np.int64)
+            if self.periodics[a]:
+                b = np.mod(b, self.shape[a])
+            else:
+                b = np.clip(b, 0, self.shape[a] - 1)
+            flat = flat * self.shape[a] + b
+        return flat
 
 
 class BlockExchange(object):
@@ -125,11 +218,16 @@ class BlockExchange(object):
     The integrator calls ``update(states)`` before each acceleration
     evaluation (the ``parallel_manager.update()`` hook)."""
 
-    def __init__(self, partition, schemas, axis_name='x',
+    def __init__(self, partition, schemas, axis_names=None,
                  radius_scale=2.0, buffer_capacity=256):
         self.partition = partition
         self.schemas = schemas
-        self.axis_name = axis_name
+        if axis_names is None:
+            axis_names = tuple('b%d' % a
+                               for a in range(partition.ndim))
+        elif isinstance(axis_names, str):
+            axis_names = (axis_names,)
+        self.axis_names = tuple(axis_names)
         self.radius_scale = radius_scale
         self.buffer_capacity = int(partition.buffer_capacity or
                                    buffer_capacity)
@@ -146,59 +244,126 @@ class BlockExchange(object):
         else:
             self._diag[key] = value
 
-    def _perm(self, direction):
-        nb = self.partition.n_blocks
+    def _pmax_all(self, v):
+        """Max over the whole mesh (all block axes)."""
+        out = v
+        for name in self.axis_names:
+            out = jax.lax.pmax(out, name)
+        return out
+
+    def _perm(self, a, direction):
+        n = self.partition.shape[a]
         if direction == 'right':
-            pairs = [(i, (i + 1) % nb) for i in range(nb)]
+            pairs = [(i, (i + 1) % n) for i in range(n)]
         else:
-            pairs = [(i, (i - 1) % nb) for i in range(nb)]
-        if not self.partition.periodic:
+            pairs = [(i, (i - 1) % n) for i in range(n)]
+        if not self.partition.periodics[a]:
             if direction == 'right':
                 pairs = [p for p in pairs if p[1] != 0]
             else:
                 pairs = [p for p in pairs if p[0] != 0]
         return pairs
 
-    def _shift_recv(self, packed, direction, me):
-        """Fix up coordinates of particles that crossed the periodic
-        seam: a packed buffer moving right from block nb-1 to block 0
+    def _shift_recv(self, packed, a, direction, me):
+        """Fix up coordinates of particles that crossed a periodic
+        seam: a packed buffer moving right from block n-1 to block 0
         must be shifted by -L (and vice versa)."""
-        if not self.partition.periodic:
-            return packed
         part = self.partition
-        L = part.hi - part.lo
-        axis = part.axis
-        nb = part.n_blocks
+        if not part.periodics[a]:
+            return packed
+        L = part.his[a] - part.los[a]
+        coord = part.axes[a]
+        n = part.shape[a]
         if direction == 'right':
             # I received from my left neighbor; if I am block 0 the
-            # data came from block nb-1 across the seam.
+            # data came from block n-1 across the seam.
             shift = jnp.where(me == 0, -L, 0.0)
         else:
-            shift = jnp.where(me == nb - 1, L, 0.0)
+            shift = jnp.where(me == n - 1, L, 0.0)
         out = dict(packed)
-        out[axis] = packed[axis] + shift
+        out[coord] = packed[coord] + shift
         return out
 
-    def _send_recv(self, state, prop_names, cond, direction, tag):
-        """Pack cond-rows, ppermute them one hop, return packed+count."""
+    def _send_recv(self, state, prop_names, cond, a, direction):
+        """Pack cond-rows, ppermute them one hop along axis ``a``,
+        return (packed, count, send_overflowed)."""
         cap_buf = self.buffer_capacity
         packed, count, total = _select_rows(state, prop_names, cond,
                                             cap_buf)
-        self._merge_diag('exchange_overflow', total > cap_buf)
-        perm = self._perm(direction)
-        shifted = jax.lax.ppermute(
-            (packed, count), self.axis_name, perm)
-        rpacked, rcount = shifted
-        me = jax.lax.axis_index(self.axis_name)
-        rpacked = self._shift_recv(rpacked, direction, me)
-        return rpacked, rcount
+        ovf = total > cap_buf
+        perm = self._perm(a, direction)
+        rpacked, rcount = jax.lax.ppermute(
+            (packed, count), self.axis_names[a], perm)
+        me = jax.lax.axis_index(self.axis_names[a])
+        rpacked = self._shift_recv(rpacked, a, direction, me)
+        return rpacked, rcount, ovf
 
-    def update(self, states):
-        """Drop stale halos, migrate strays, rebuild halos.  Pure."""
+    # ---- migration ---------------------------------------------------
+    def _stray_dirs(self, state, a, me):
+        """Per-particle signed block distance along axis ``a``."""
         part = self.partition
-        axis = part.axis
-        me = jax.lax.axis_index(self.axis_name)
-        nb = part.n_blocks
+        cap = state['x'].shape[0]
+        act = jnp.arange(cap, dtype=jnp.int32) < state['n_act']
+        b = part.block_of_axis(a, state[part.axes[a]])
+        n = part.shape[a]
+        if part.periodics[a]:
+            d = jnp.mod(b - me + n // 2, n) - n // 2
+        else:
+            d = b - me
+        return act, d
+
+    def _migrate_axis(self, state, props, a):
+        """One-hop-at-a-time migration along axis ``a`` inside a
+        bounded while_loop, so multi-block jumps (fast particles,
+        narrow blocks) land correctly instead of being flagged and
+        dropped (reference analog: Zoltan_Point_PP_Assign re-homes
+        arbitrary strays, parallel_manager.pyx:1290)."""
+        part = self.partition
+        me = jax.lax.axis_index(self.axis_names[a])
+        n = part.shape[a]
+        max_hops = n if part.periodics[a] else n - 1
+        if max_hops <= 0:
+            return state, jnp.asarray(False), jnp.asarray(False)
+
+        def any_stray(state):
+            act, d = self._stray_dirs(state, a, me)
+            return self._pmax_all(jnp.any(act & (d != 0)))
+
+        def body(carry):
+            state, hops, ovf = carry
+            act, d = self._stray_dirs(state, a, me)
+            go_right = act & (d > 0)
+            go_left = act & (d < 0)
+            recv_r, cnt_r, ovf_r = self._send_recv(
+                state, props, go_right, a, 'right')
+            recv_l, cnt_l, ovf_l = self._send_recv(
+                state, props, go_left, a, 'left')
+            state = _compact(state, props, act & ~(go_right | go_left))
+            state, iovf1 = _insert_rows(state, props, recv_r, cnt_r,
+                                        state['n_act'],
+                                        ParticleTAGS.Local)
+            state, iovf2 = _insert_rows(state, props, recv_l, cnt_l,
+                                        state['n_act'],
+                                        ParticleTAGS.Local)
+            ovf = ovf | ovf_r | ovf_l | iovf1 | iovf2
+            return state, hops + 1, ovf
+
+        def cond(carry):
+            state, hops, ovf = carry
+            return (hops < max_hops) & any_stray(state) & ~ovf
+
+        init = (state, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        state, hops, ovf = jax.lax.while_loop(cond, body, init)
+        unresolved = any_stray(state)
+        return state, ovf, unresolved
+
+    # ---- the per-eval update ----------------------------------------
+    def update(self, states):
+        """Drop stale halos, migrate strays (all axes, multi-hop),
+        rebuild halos (all axes, corners via the dimension-ordered
+        sweep).  Pure."""
+        part = self.partition
+        ndim = part.ndim
 
         # interaction radius for halo width (global max h)
         fdt = next(iter(states.values()))['x'].dtype
@@ -206,12 +371,14 @@ class BlockExchange(object):
         for s in states.values():
             cap = s['x'].shape[0]
             act = jnp.arange(cap, dtype=jnp.int32) < s['n_act']
-            hmax = jnp.maximum(hmax, jnp.max(jnp.where(act, s['h'], 0.0)))
-        hmax = jax.lax.pmax(hmax, self.axis_name)
+            hmax = jnp.maximum(hmax, jnp.max(jnp.where(act, s['h'],
+                                                       0.0)))
+        hmax = self._pmax_all(hmax)
         halo_w = part.halo_factor * self.radius_scale * hmax
-
-        my_lo = part.lo + me * part.width
-        my_hi = my_lo + part.width
+        # a halo wider than a block would need next-nearest-neighbor
+        # exchange; surface it rather than silently under-resolving
+        min_w = min(w for w in part.widths)
+        self._merge_diag('halo_width_overflow', halo_w > min_w)
 
         out = {}
         for name, state in states.items():
@@ -223,57 +390,47 @@ class BlockExchange(object):
             # 1. drop stale halos
             keep = act & (state['tag'] != ParticleTAGS.Remote)
             state = _compact(state, props, keep)
-            act = ar < state['n_act']
 
-            # 2. migration of strays
-            c = state[axis]
-            b = part.block_of(c)
-            if part.periodic:
-                d = jnp.mod(b - me + nb // 2, nb) - nb // 2
-            else:
-                d = b - me
-            self._merge_diag('migration_multihop',
-                             jnp.any(act & (jnp.abs(d) > 1)))
-            go_right = act & (d > 0)
-            go_left = act & (d < 0)
-            recv_r, cnt_r = self._send_recv(state, props, go_right,
-                                            'right', ParticleTAGS.Local)
-            recv_l, cnt_l = self._send_recv(state, props, go_left,
-                                            'left', ParticleTAGS.Local)
-            keep = act & ~(go_right | go_left)
-            state = _compact(state, props, keep)
-            state, ovf1 = _insert_rows(state, props, recv_r, cnt_r,
-                                       state['n_act'],
-                                       ParticleTAGS.Local)
-            state, ovf2 = _insert_rows(state, props, recv_l, cnt_l,
-                                       state['n_act'],
-                                       ParticleTAGS.Local)
-            self._merge_diag('capacity_overflow', ovf1 | ovf2)
+            # 2. migration, dimension-ordered; bounded multi-hop per
+            # axis (a diagonal mover reaches its corner block through
+            # one x-pass then one y-pass)
+            unresolved = jnp.asarray(False)
+            for a in range(ndim):
+                state, ovf, unres = self._migrate_axis(state, props, a)
+                self._merge_diag('capacity_overflow', ovf)
+                self._merge_diag('exchange_overflow', ovf)
+                unresolved = unresolved | unres
+            self._merge_diag('migration_multihop', unresolved)
 
-            # 3. halo export: my boundary strips -> neighbors
-            act = jnp.arange(cap, dtype=jnp.int32) < state['n_act']
-            c = state[axis]
-            near_hi = act & (c >= my_hi - halo_w)
-            near_lo = act & (c < my_lo + halo_w)
-            if not part.periodic:
-                pass  # edge blocks simply have no neighbor (perm drops)
-            halo_r, hcnt_r = self._send_recv(state, props, near_hi,
-                                             'right', ParticleTAGS.Remote)
-            halo_l, hcnt_l = self._send_recv(state, props, near_lo,
-                                             'left', ParticleTAGS.Remote)
-            state, ovf3 = _insert_rows(state, props, halo_r, hcnt_r,
-                                       state['n_act'],
-                                       ParticleTAGS.Remote)
-            state, ovf4 = _insert_rows(state, props, halo_l, hcnt_l,
-                                       state['n_act'],
-                                       ParticleTAGS.Remote)
-            self._merge_diag('capacity_overflow', ovf3 | ovf4)
+            # 3. halo export, dimension-ordered: later axes see the
+            # halos already inserted by earlier axes, which fills
+            # edge/corner ghost regions (two axis-aligned hops)
+            for a in range(ndim):
+                me = jax.lax.axis_index(self.axis_names[a])
+                my_lo = part.los[a] + me * part.widths[a]
+                my_hi = my_lo + part.widths[a]
+                act = jnp.arange(cap, dtype=jnp.int32) < state['n_act']
+                c = state[part.axes[a]]
+                near_hi = act & (c >= my_hi - halo_w)
+                near_lo = act & (c < my_lo + halo_w)
+                halo_r, hcnt_r, ovf_r = self._send_recv(
+                    state, props, near_hi, a, 'right')
+                halo_l, hcnt_l, ovf_l = self._send_recv(
+                    state, props, near_lo, a, 'left')
+                state, iovf1 = _insert_rows(state, props, halo_r,
+                                            hcnt_r, state['n_act'],
+                                            ParticleTAGS.Remote)
+                state, iovf2 = _insert_rows(state, props, halo_l,
+                                            hcnt_l, state['n_act'],
+                                            ParticleTAGS.Remote)
+                self._merge_diag('exchange_overflow', ovf_r | ovf_l)
+                self._merge_diag('capacity_overflow', iovf1 | iovf2)
             out[name] = state
         return out
 
 
 class DistributedRunner(object):
-    """Runs an Integrator over a 1-D device mesh with block decomposition.
+    """Runs an Integrator over a device mesh with block decomposition.
 
     Usage::
 
@@ -281,8 +438,12 @@ class DistributedRunner(object):
                                    local_capacity=4096)
         gstates = runner.distribute(particle_arrays)
         gstates, dt_next, diag = runner.step(gstates, t, dt)
+        # or, with automatic overflow grow+redo (the Solver path):
+        gstates, dt_next, diag = runner.step_checked(gstates, t, dt)
         runner.collect(gstates, particle_arrays)
     """
+
+    MAX_GROWS = 6
 
     def __init__(self, integrator, partition, devices=None,
                  local_capacity=None, buffer_capacity=256, cfl=0.3,
@@ -294,31 +455,33 @@ class DistributedRunner(object):
         if len(devices) != partition.n_blocks:
             raise ValueError('need %d devices, got %d' %
                              (partition.n_blocks, len(devices)))
-        self.mesh = Mesh(np.array(devices), ('blocks',))
+        self.axis_names = tuple('b%d' % a
+                                for a in range(partition.ndim))
+        self.mesh = Mesh(
+            np.array(devices).reshape(partition.shape),
+            self.axis_names)
         self.local_capacity = local_capacity
         self.buffer_capacity = buffer_capacity
         self.cfl = cfl
         self.adaptive_timestep = adaptive_timestep
         kernel = integrator.acceleration_evals[0].kernel
         self.exchange = BlockExchange(
-            partition, integrator.schemas, axis_name='blocks',
+            partition, integrator.schemas, axis_names=self.axis_names,
             radius_scale=kernel.radius_scale,
             buffer_capacity=buffer_capacity)
         self._step = None
 
     # -- host-side data movement ---------------------------------------
-    def distribute(self, particle_arrays):
+    def distribute(self, particle_arrays, local_capacity=None):
         """Partition host particle arrays into per-block padded shards."""
         part = self.partition
         nb = part.n_blocks
+        if local_capacity is not None:
+            self.local_capacity = local_capacity
         gstates = {}
         for pa in particle_arrays:
-            coord = np.asarray(pa.get(part.axis))
-            b = np.floor((coord - part.lo) / part.width).astype(int)
-            if part.periodic:
-                b = np.mod(b, nb)
-            else:
-                b = np.clip(b, 0, nb - 1)
+            coords = [np.asarray(pa.get(ax)) for ax in part.axes]
+            b = part.block_of_np(coords)
             counts = np.bincount(b, minlength=nb)
             cap = self.local_capacity
             if cap is None:
@@ -342,17 +505,19 @@ class DistributedRunner(object):
         return self._device_put(gstates)
 
     def _spec(self, gstates):
+        blocks = P(self.axis_names if len(self.axis_names) > 1
+                   else self.axis_names[0])
         specs = {}
         for name, gstate in gstates.items():
             sp = {}
             consts = set(self.integrator.schemas[name].consts)
             for key, arr in gstate.items():
                 if key == 'n_act':
-                    sp[key] = P('blocks')
+                    sp[key] = blocks
                 elif key in consts:
                     sp[key] = P()  # replicated
                 else:
-                    sp[key] = P('blocks')
+                    sp[key] = blocks
             specs[name] = sp
         return specs
 
@@ -408,9 +573,8 @@ class DistributedRunner(object):
         diag_spec = {
             'cell_overflow': P(), 'extent_overflow': P(),
             'block_overflow': P(),
-            'exchange_overflow': P(), 'capacity_overflow': P(),
-            'migration_multihop': P(),
         }
+        diag_spec.update({k: P() for k in EXCHANGE_DIAG_KEYS})
         out_specs = ({n: specs[n] for n in gstates}, P(), diag_spec)
 
         def local_step(states, t, dt):
@@ -425,21 +589,20 @@ class DistributedRunner(object):
             if self.adaptive_timestep:
                 dt_next = integrator.compute_time_step(
                     new_states, dt, self.cfl)
-                dt_next = jax.lax.pmin(dt_next, 'blocks')
+                for name in self.axis_names:
+                    dt_next = jax.lax.pmin(dt_next, name)
             else:
                 dt_next = dt
             ex_diag = exchange.pop_diag()
             diag = dict(diag)
-            for k in ('exchange_overflow', 'capacity_overflow',
-                      'migration_multihop'):
+            for k in EXCHANGE_DIAG_KEYS:
                 diag[k] = ex_diag.get(k, jnp.asarray(False))
             # global-reduce the diag flags
             for k, v in diag.items():
-                if v.dtype == jnp.bool_:
-                    diag[k] = jax.lax.pmax(v.astype(jnp.int32),
-                                           'blocks').astype(bool)
-                else:
-                    diag[k] = jax.lax.pmax(v, 'blocks')
+                r = v.astype(jnp.int32) if v.dtype == jnp.bool_ else v
+                for name in self.axis_names:
+                    r = jax.lax.pmax(r, name)
+                diag[k] = r.astype(bool) if v.dtype == jnp.bool_ else r
             out = {}
             for name, s in new_states.items():
                 s = dict(s)
@@ -454,5 +617,70 @@ class DistributedRunner(object):
     def step(self, gstates, t, dt):
         if self._step is None:
             self._step = self.make_step(gstates)
-        import jax.numpy as jnp
         return self._step(gstates, jnp.asarray(t), jnp.asarray(dt))
+
+    # -- overflow management (mirrors Solver._handle_overflow) ---------
+    def _grow_local_capacity(self, gstates, factor=2):
+        """Pad every per-block shard to factor x capacity (host path —
+        overflows are rare; clarity over speed)."""
+        nb = self.partition.n_blocks
+        out = {}
+        for name, gstate in gstates.items():
+            consts = set(self.integrator.schemas[name].consts)
+            g = {}
+            for key, arr in gstate.items():
+                if key == 'n_act' or key in consts:
+                    g[key] = arr
+                    continue
+                host = np.asarray(arr)
+                cap = host.shape[0] // nb
+                new_cap = cap * factor
+                shape = (nb, new_cap) + host.shape[1:]
+                grown = np.zeros(shape, host.dtype)
+                grown[:, :cap] = host.reshape((nb, cap) +
+                                              host.shape[1:])
+                if key == 'tag':
+                    grown[:, cap:] = ParticleTAGS.Padding
+                g[key] = jnp.asarray(
+                    grown.reshape((nb * new_cap,) + host.shape[2:]))
+            out[name] = g
+        self.local_capacity = None  # sized by the arrays now
+        return self._device_put(out)
+
+    def step_checked(self, gstates, t, dt):
+        """``step`` + the Solver's overflow recovery: on any overflow
+        flag, grow the corresponding static capacity, re-jit, and redo
+        the step from the (unmodified) pre-step state."""
+        for attempt in range(self.MAX_GROWS + 1):
+            new_gstates, dt_next, diag = self.step(gstates, t, dt)
+            flags = {k: bool(v) for k, v in diag.items()
+                     if getattr(v, 'dtype', None) == jnp.bool_
+                     or isinstance(v, (bool, np.bool_))}
+            grid_ovf = (flags.get('cell_overflow', False) or
+                        flags.get('extent_overflow', False) or
+                        flags.get('block_overflow', False))
+            buf_ovf = flags.get('exchange_overflow', False)
+            cap_ovf = flags.get('capacity_overflow', False)
+            if not (grid_ovf or buf_ovf or cap_ovf):
+                return new_gstates, dt_next, diag
+            if attempt == self.MAX_GROWS:
+                raise RuntimeError(
+                    'distributed overflow persists after %d grows: %s'
+                    % (self.MAX_GROWS, flags))
+            if grid_ovf:
+                spec = self.integrator.acceleration_evals[0].grid_spec
+                spec = spec.grow(
+                    cells=flags.get('cell_overflow', False),
+                    extent=flags.get('extent_overflow', False),
+                    blocks=flags.get('block_overflow', False))
+                self.integrator.set_nnps(spec)
+                self._step = None
+            if buf_ovf:
+                self.exchange.buffer_capacity *= 2
+                self.partition.buffer_capacity = \
+                    self.exchange.buffer_capacity
+                self._step = None
+            if cap_ovf:
+                gstates = self._grow_local_capacity(gstates)
+                self._step = None
+        raise AssertionError('unreachable')

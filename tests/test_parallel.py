@@ -129,3 +129,294 @@ def test_adaptive_dt_pmin():
     gstates, dt_next, diag = runner.step(gstates, 0.0, 1e-4)
     assert float(dt_next) > 0
     assert np.isfinite(float(dt_next))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 coverage: 2-D meshes, periodic rings, multi-array, overflow
+# grow+redo, multi-hop migration (VERDICT items 4 and 8)
+# ---------------------------------------------------------------------------
+def _serial_sorted(pa_serial, n_steps, dt, props=('x', 'y', 'rho')):
+    serial = _run_serial(pa_serial, n_steps, dt)
+    n = int(serial['fluid']['n_act'])
+    gid = np.asarray(serial['fluid']['gid'])[:n]
+    order = np.argsort(gid)
+    return {p: np.asarray(serial['fluid'][p])[:n][order]
+            for p in props}
+
+
+def _dist_sorted(pa, props=('x', 'y', 'rho')):
+    order = np.argsort(pa.gid)
+    return {p: np.asarray(getattr(pa, p))[order] for p in props}
+
+
+def test_serial_vs_sharded_2d_mesh():
+    """4x2 (x, y) block mesh: dimension-ordered halo sweep must fill
+    edge/corner ghosts so results match serial exactly."""
+    if len(jax.devices()) < 8:
+        pytest.skip('not enough devices')
+    n_steps, dt = 3, 1e-4
+
+    ref = _serial_sorted(_make_particles(), n_steps, dt)
+
+    pa = _make_particles()
+    integ = _make_integrator(pa)
+    partition = BlockPartition((4, 2), lo=(0.0, 0.0), hi=(2.0, 0.5),
+                               axes=('x', 'y'))
+    runner = DistributedRunner(integ, partition,
+                               devices=jax.devices()[:8],
+                               buffer_capacity=512)
+    # small blocks: the halo shell holds more particles than the
+    # block itself, so size the local capacity generously
+    gstates = runner.distribute([pa], local_capacity=512)
+    t = 0.0
+    for _ in range(n_steps):
+        gstates, _dt, diag = runner.step(gstates, t, dt)
+        for k in ('cell_overflow', 'extent_overflow',
+                  'exchange_overflow', 'capacity_overflow',
+                  'migration_multihop', 'halo_width_overflow'):
+            assert not bool(diag[k]), k
+        t += dt
+    runner.collect(gstates, [pa])
+
+    got = _dist_sorted(pa)
+    assert pa.get_number_of_particles() == ref['x'].size
+    np.testing.assert_allclose(got['x'], ref['x'], rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(got['y'], ref['y'], rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(got['rho'], ref['rho'], rtol=1e-9)
+
+
+def test_periodic_ring_vs_serial():
+    """Periodic channel: a periodic 1-D partition (halo images shifted
+    across the seam) must match a serial run using DomainManager
+    periodicity."""
+    if len(jax.devices()) < 4:
+        pytest.skip('not enough devices')
+    from pysph_tpu.base.domain import DomainManager
+    n_steps, dt = 3, 1e-4
+    L = 2.0
+
+    def make_pa():
+        rng = np.random.RandomState(7)
+        n = 400
+        x = rng.uniform(0, L, n)
+        y = rng.uniform(0, 0.5, n)
+        dx = np.sqrt(L * 0.5 / n)
+        return get_particle_array_wcsph(
+            name='fluid', x=x, y=y, h=np.full(n, 1.3 * dx),
+            m=np.full(n, dx * dx), rho=np.ones(n),
+            u=0.5 + 0.1 * np.sin(2 * np.pi * x / L),
+            v=0.05 * np.cos(np.pi * y))
+
+    # serial: DomainManager periodicity
+    pa_s = make_pa()
+    domain = DomainManager(xmin=0.0, xmax=L, ymin=0.0, ymax=0.5,
+                           periodic_in_x=True)
+    kernel = CubicSpline(dim=2)
+    a_eval = AccelerationEval([pa_s], _equations(), kernel,
+                              domain=domain)
+    integ_s = EPECIntegrator(fluid=WCSPHStep())
+    integ_s.set_acceleration_evals([a_eval])
+    integ_s.set_nnps(GridSpec.from_particles(
+        [pa_s], dim=2, radius_scale=2.0, domain=domain))
+    states = {'fluid': pa_s.to_device()[0]}
+    step = jax.jit(lambda s, t, dt: integ_s.step(s, t, dt)[0])
+    t = 0.0
+    for _ in range(n_steps):
+        states = step(states, t, dt)
+        t += dt
+    n = int(states['fluid']['n_act'])
+    gid = np.asarray(states['fluid']['gid'])[:n]
+    order = np.argsort(gid)
+    sx = np.mod(np.asarray(states['fluid']['x'])[:n][order], L)
+    srho = np.asarray(states['fluid']['rho'])[:n][order]
+
+    # distributed: periodic partition; the LOCAL grid is non-periodic
+    # (the seam is covered by shifted halo images)
+    pa_d = make_pa()
+    integ_d = _make_integrator(pa_d)
+    partition = BlockPartition(4, 0.0, L, axis='x', periodic=True)
+    runner = DistributedRunner(integ_d, partition,
+                               devices=jax.devices()[:4],
+                               buffer_capacity=512)
+    gstates = runner.distribute([pa_d])
+    t = 0.0
+    for _ in range(n_steps):
+        gstates, _dt, diag = runner.step(gstates, t, dt)
+        assert not bool(diag['capacity_overflow'])
+        assert not bool(diag['exchange_overflow'])
+        t += dt
+    runner.collect(gstates, [pa_d])
+
+    order = np.argsort(pa_d.gid)
+    dx_ = np.mod(pa_d.x[order], L)
+    drho = pa_d.rho[order]
+    # positions may differ by exactly L across the seam; compare mod L
+    diff = np.minimum(np.abs(dx_ - sx), L - np.abs(dx_ - sx))
+    assert np.max(diff) < 1e-9
+    np.testing.assert_allclose(drho, srho, rtol=1e-9)
+
+
+def test_multiarray_fluid_boundary():
+    """fluid + static boundary arrays distributed together (the dam
+    break topology): results must match serial."""
+    if len(jax.devices()) < 4:
+        pytest.skip('not enough devices')
+    from pysph_tpu.sph.wc.basic import TaitEOSHGCorrection
+    n_steps, dt = 2, 5e-5
+
+    def make(name_only=False):
+        rng = np.random.RandomState(11)
+        n = 300
+        x = rng.uniform(0, 2.0, n)
+        y = rng.uniform(0.05, 0.4, n)
+        dx = 0.05
+        fluid = get_particle_array_wcsph(
+            name='fluid', x=x, y=y, h=np.full(n, 1.3 * dx),
+            m=np.full(n, dx * dx), rho=np.ones(n),
+            v=-0.1 * np.ones(n))
+        bx = np.arange(0.0, 2.0, dx / 2)
+        boundary = get_particle_array_wcsph(
+            name='boundary', x=bx, y=np.zeros_like(bx),
+            h=np.full(bx.size, 1.3 * dx),
+            m=np.full(bx.size, dx * dx), rho=np.ones(bx.size))
+        return fluid, boundary
+
+    def equations():
+        return [
+            Group(equations=[
+                TaitEOS('fluid', None, rho0=1.0, c0=20.0, gamma=7.0),
+                TaitEOSHGCorrection('boundary', None, rho0=1.0,
+                                    c0=20.0, gamma=7.0)], real=False),
+            Group(equations=[
+                ContinuityEquation('fluid', ['fluid', 'boundary']),
+                ContinuityEquation('boundary', ['fluid']),
+                MomentumEquation('fluid', ['fluid', 'boundary'],
+                                 c0=20.0, alpha=0.1, beta=0.0,
+                                 gy=-9.81),
+                XSPHCorrection('fluid', ['fluid']),
+            ]),
+        ]
+
+    def make_integ(fluid, boundary):
+        from pysph_tpu.sph.integrator_step import EulerStep
+        kernel = CubicSpline(dim=2)
+        a_eval = AccelerationEval([fluid, boundary], equations(),
+                                  kernel)
+        integ = EPECIntegrator(fluid=WCSPHStep(),
+                               boundary=EulerStep())
+        integ.set_acceleration_evals([a_eval])
+        integ.set_nnps(GridSpec.from_particles(
+            [fluid, boundary], dim=2, radius_scale=2.0))
+        return integ
+
+    # serial
+    f_s, b_s = make()
+    integ = make_integ(f_s, b_s)
+    states = {'fluid': f_s.to_device()[0],
+              'boundary': b_s.to_device()[0]}
+    step = jax.jit(lambda s, t, dt: integ.step(s, t, dt)[0])
+    t = 0.0
+    for _ in range(n_steps):
+        states = step(states, t, dt)
+        t += dt
+    n = int(states['fluid']['n_act'])
+    order = np.argsort(np.asarray(states['fluid']['gid'])[:n])
+    sx = np.asarray(states['fluid']['x'])[:n][order]
+    srho = np.asarray(states['fluid']['rho'])[:n][order]
+    nb_ = int(states['boundary']['n_act'])
+    border = np.argsort(np.asarray(states['boundary']['gid'])[:nb_])
+    sbrho = np.asarray(states['boundary']['rho'])[:nb_][border]
+
+    # distributed
+    f_d, b_d = make()
+    integ_d = make_integ(f_d, b_d)
+    partition = BlockPartition(4, 0.0, 2.0, axis='x')
+    runner = DistributedRunner(integ_d, partition,
+                               devices=jax.devices()[:4],
+                               buffer_capacity=512)
+    gstates = runner.distribute([f_d, b_d])
+    t = 0.0
+    for _ in range(n_steps):
+        gstates, _dt, diag = runner.step(gstates, t, dt)
+        assert not bool(diag['capacity_overflow'])
+        t += dt
+    runner.collect(gstates, [f_d, b_d])
+
+    np.testing.assert_allclose(
+        f_d.x[np.argsort(f_d.gid)], sx, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        f_d.rho[np.argsort(f_d.gid)], srho, rtol=1e-9)
+    np.testing.assert_allclose(
+        b_d.rho[np.argsort(b_d.gid)], sbrho, rtol=1e-9)
+
+
+def test_overflow_grow_redo():
+    """step_checked must recover from undersized exchange buffers and
+    local capacities by growing + redoing, and still match serial."""
+    if len(jax.devices()) < 4:
+        pytest.skip('not enough devices')
+    n_steps, dt = 2, 1e-4
+
+    ref = _serial_sorted(_make_particles(), n_steps, dt)
+
+    pa = _make_particles()
+    integ = _make_integrator(pa)
+    partition = BlockPartition(4, 0.0, 2.0, axis='x')
+    runner = DistributedRunner(integ, partition,
+                               devices=jax.devices()[:4],
+                               buffer_capacity=4)  # far too small
+    gstates = runner.distribute([pa], local_capacity=128)
+    t = 0.0
+    for _ in range(n_steps):
+        gstates, _dt, diag = runner.step_checked(gstates, t, dt)
+        assert not bool(diag['exchange_overflow'])
+        assert not bool(diag['capacity_overflow'])
+        t += dt
+    assert runner.exchange.buffer_capacity > 4
+    runner.collect(gstates, [pa])
+
+    got = _dist_sorted(pa)
+    assert pa.get_number_of_particles() == ref['x'].size
+    np.testing.assert_allclose(got['x'], ref['x'], rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(got['rho'], ref['rho'], rtol=1e-9)
+
+
+def test_multihop_migration():
+    """Particles displaced several blocks away must be re-homed by the
+    bounded while_loop migration (reference analog:
+    Zoltan_Point_PP_Assign re-homes arbitrary strays)."""
+    if len(jax.devices()) < 8:
+        pytest.skip('not enough devices')
+    pa = _make_particles()
+    integ = _make_integrator(pa)
+    partition = BlockPartition(8, 0.0, 2.0, axis='x')
+    runner = DistributedRunner(integ, partition,
+                               devices=jax.devices()[:8],
+                               buffer_capacity=512)
+    gstates = runner.distribute([pa])
+
+    # teleport the first 5 particles of block 0 by +5 blocks and 3 of
+    # block 7 by -6 blocks (host-side edit of the global arrays)
+    x = np.array(gstates['fluid']['x'])
+    n_act = np.asarray(gstates['fluid']['n_act'])
+    cap = x.shape[0] // 8
+    w = partition.widths[0]
+    x[0:min(5, n_act[0])] += 5 * w
+    base = 7 * cap
+    x[base:base + min(3, n_act[7])] -= 6 * w
+    x = np.clip(x, 1e-6, 2.0 - 1e-6)
+    gstates = dict(gstates)
+    gstates['fluid'] = dict(gstates['fluid'])
+    gstates['fluid']['x'] = jax.device_put(
+        x, gstates['fluid']['x'].sharding)
+
+    gstates, _dt, diag = runner.step(gstates, 0.0, 1e-6)
+    assert not bool(diag['migration_multihop'])
+    assert not bool(diag['capacity_overflow'])
+    runner.collect(gstates, [pa])
+    # every owned particle must sit inside its owner's block
+    assert pa.get_number_of_particles() == 400
+    assert np.all(np.isfinite(pa.x))
