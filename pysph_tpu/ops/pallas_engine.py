@@ -64,7 +64,8 @@ _SYM_DEPS = {
     'HIJ': ('h',), 'EPS': ('h',), 'RHOIJ': ('rho',),
     'RHOIJ1': ('rho',), 'XIJ': ('x', 'y', 'z'),
     'VIJ': ('u', 'v', 'w'), 'R2IJ': ('x', 'y', 'z'),
-    'RIJ': ('x', 'y', 'z'), 'WIJ': _XYZH, 'WI': _XYZH, 'WJ': _XYZH,
+    'RIJ': ('x', 'y', 'z'), 'RINV': ('x', 'y', 'z'),
+    'WIJ': _XYZH, 'WI': _XYZH, 'WJ': _XYZH,
     'DWIJ': _XYZH, 'DWI': _XYZH, 'DWJ': _XYZH, 'GHI': _XYZH,
     'GHJ': _XYZH, 'GHIJ': _XYZH, 'WDASHI': _XYZH, 'WDASHJ': _XYZH,
     'WDASHIJ': _XYZH, 'WDP': _XYZH,
@@ -222,7 +223,9 @@ def _install_symbol_formulas():
     interface-compatible)."""
     from pysph_tpu.sph.acceleration_eval import GridPairContext
     for name in dir(GridPairContext):
-        if name.startswith('_c_') or name in ('_safe_h', '_grad'):
+        if name.startswith('_c_') or name in ('_safe_h', '_grad',
+                                              '_gradh', '_kparts',
+                                              '_recip'):
             if not hasattr(PlanePairContext, name):
                 setattr(PlanePairContext, name,
                         getattr(GridPairContext, name))
@@ -682,10 +685,23 @@ class _Plan(object):
         self.radius_scale = radius_scale
 
     def execute(self, dest_store, spec, write_mask, t, dt,
-                interpret=None):
+                interpret=None, write_mask_flat=None):
         """Run the kernel; returns the traced block-overflow flag
         (True -> more active blocks than the static A_max; the caller
-        surfaces it as diag['block_overflow'])."""
+        surfaces it as diag['block_overflow']).
+
+        ``write_mask`` may be a (n_slots,) array or a zero-arg callable
+        producing one (the compact path never needs slot-space masks,
+        so the conversion is skipped); ``write_mask_flat`` is the same
+        mask in flat particle space."""
+        import os
+        compact = os.environ.get('PYSPH_TPU_COMPACT', '1') != '0'
+        if compact and write_mask_flat is not None:
+            return _execute_plan_compact(self, dest_store, spec,
+                                         write_mask_flat, t, dt,
+                                         interpret)
+        if callable(write_mask):
+            write_mask = write_mask()
         return _execute_plan(self, dest_store, spec, write_mask, t,
                              dt, interpret)
 
@@ -933,4 +949,412 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
             out = jnp.where(act_exp, out, d_ins[p])
         out = out[:, :, :nz, :] if nz_p != nz else out
         dest_store[p] = out.reshape(C * Md)
+    return block_ovf
+
+
+# ---------------------------------------------------------------------------
+# Compacted execution: packs live only over ACTIVE blocks
+# ---------------------------------------------------------------------------
+def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
+                         meta, *refs):
+    """Compact variant of ``_pair_kernel``: dest/source packs are
+    (A, P, tz, Md/3Ms) arrays over the active-block lists only, so no
+    dense slot-space arrays are ever materialized.  Geometry handling
+    (x/y edges and wrap, z edges/wrap) moved out of the kernel: the
+    source index maps resolve out-of-range/inactive neighbors to the
+    reserved all-zero entry 0, and the z lane-concat was gathered with
+    sentinel rows host-side.  The kernel is pure pair arithmetic over
+    mask planes."""
+    (tz, Md, oys, oxs, d_props, d_const_list, src_metas, out_props,
+     out_ops) = meta
+    it = iter(refs)
+    _bi = next(it)                   # scalar prefetch (used by maps)
+    _bj = next(it)
+    _bz = next(it)
+    na_ref = next(it)                # (1,): number of active blocks
+    for _ in src_metas:
+        next(it)                     # per-source inverse block maps
+    scal = next(it)                  # (1, 2): t, dt
+    d_ref = next(it)                 # (1, 2 + Pd, tz, Md)
+    d_consts = {('d', p): next(it)[0] for p in d_const_list}
+    srcs = []
+    for s_props, s_const_list in src_metas:
+        s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
+        s_consts = {('s', p): next(it)[0] for p in s_const_list}
+        srcs.append((s_ref, s_props, s_consts, s_const_list))
+    out_ref = next(it)               # (1, Po, tz, Md)
+    scratch = [next(it) for _ in out_props]
+
+    t = scal[0, 0]
+    dt = scal[0, 1]
+    a = pl.program_id(0)
+    valid = a < na_ref[0]
+
+    wmf = d_ref[0, 0]
+    dmaskf = d_ref[0, 1]
+    dcols = {p: d_ref[0, 2 + pi] for pi, p in enumerate(d_props)}
+
+    occ = valid & (jnp.sum(wmf * dmaskf) > 0.0)
+
+    @pl.when(valid)
+    def _init_scratch():
+        neutral = {'sum': 0.0, 'max': -jnp.inf, 'min': jnp.inf}
+        for po, prop in enumerate(out_props):
+            scratch[po][...] = jnp.full(
+                scratch[po].shape, neutral[out_ops[prop]],
+                scratch[po].dtype)
+
+    @pl.when(occ)
+    def _compute():
+        out_idx = {p: po for po, p in enumerate(out_props)}
+        for oy in oys:
+            for ox in oxs:
+                written = [None]
+                for (s_ref, s_props, s_consts, s_const_list), eqs in \
+                        zip(srcs, eqs_list):
+                    ref = s_ref[(oy, ox)]
+                    smaskf_cat = ref[0, 0]          # (tz, 3Ms)
+                    src_any = jnp.sum(smaskf_cat) > 0.0
+
+                    def _phase(ref=ref, s_props=s_props,
+                               s_consts=s_consts,
+                               s_const_list=s_const_list, eqs=eqs,
+                               smaskf_cat=smaskf_cat):
+                        def scat(prop):
+                            pi = s_props.index(prop)
+                            return ref[0, 1 + pi]
+
+                        consts = {}
+                        consts.update(d_consts)
+                        consts.update(s_consts)
+                        runner = _KernelRunner(dcols, scat, dmaskf,
+                                               smaskf_cat, consts)
+                        ctx = PlanePairContext(
+                            runner, kernel_obj, domain, radius_scale,
+                            set(p for p in d_const_list),
+                            set(p for p in s_const_list))
+                        runner.ctx = ctx
+                        written[0] = _run_eqs(eqs, ctx, t, dt,
+                                              written[0])
+                        for prop, (op, val) in runner.acc.items():
+                            sref = scratch[out_idx[prop]]
+                            cur = sref[...]
+                            if op == 'sum':
+                                sref[...] = cur + val
+                            elif op == 'max':
+                                sref[...] = jnp.maximum(cur, val)
+                            else:
+                                sref[...] = jnp.minimum(cur, val)
+
+                    pl.when(src_any)(_phase)
+
+    @pl.when(valid)
+    def _writeback():
+        for po, prop in enumerate(out_props):
+            op = out_ops[prop]
+            cur = dcols[prop]
+            val = scratch[po][...]
+            if op == 'sum':
+                new = cur + wmf * val
+            elif op == 'max':
+                new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
+            else:
+                new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
+            out_ref[0, po] = new
+
+
+def _flat_block(i, j, zt, ny, n_zt):
+    return (i * ny + j) * n_zt + zt
+
+
+def _active_ids(act_flat, A_max, B):
+    """Activity-sorted id list (padded by repeating the last active
+    entry) + inverse block map (0 = inactive/reserved)."""
+    n_act = jnp.sum(act_flat.astype(jnp.int32))
+    order = jnp.argsort(~act_flat).astype(jnp.int32)[:A_max]
+    last = order[jnp.clip(n_act - 1, 0, A_max - 1)]
+    ar = jnp.arange(A_max, dtype=jnp.int32)
+    ids = jnp.where(ar < n_act, order, last)
+    sids = jnp.where(ar < n_act, order, B)      # sentinel-dropped
+    inv = jnp.zeros(B, jnp.int32).at[sids].set(ar + 1, mode='drop')
+    ovf = n_act > A_max
+    return ids, inv, jnp.minimum(n_act, A_max), ovf
+
+
+def _block_activity(layout, M, nx, ny, nz, n_zt, tz):
+    """(B,) bool: block holds >= 1 particle of this layout."""
+    C = nx * ny * nz
+    occ_cell = jnp.any(layout.slot_mask.reshape(C, M), axis=1)
+    g = occ_cell.reshape(nx, ny, nz)
+    if n_zt * tz != nz:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, n_zt * tz - nz)))
+    return jnp.any(g.reshape(nx, ny, n_zt, tz), axis=3).reshape(-1)
+
+
+def _compact_rows(layout, M, cell_idx, zok):
+    """Particle index per compacted slot: (A, tz, M) int32, -1 empty."""
+    C = layout.slot_to_particle.shape[0] // M
+    s2p = layout.slot_to_particle.reshape(C, M)
+    p_idx = s2p[cell_idx]                      # (A, tz, M) row gather
+    return jnp.where(zok[:, :, None], p_idx, -1)
+
+
+def _gather_pack(flat_cols, p_idx, lead_planes):
+    """Build a block-major pack from flat particle columns.
+
+    ``flat_cols``: list of (cap,) arrays (the plane order);
+    ``p_idx``: (A, tz, M) particle index per compacted slot;
+    ``lead_planes``: list of ready-made (A, tz, M) planes to prepend
+    (e.g. the slot mask).
+
+    Three proven-fast passes: one (rows x P) gather from the flat
+    matrix, one barrier-forced linearized transpose, one row gather
+    into block-major plane order (see PERF_NOTES.md on XLA:TPU gather
+    and transpose behavior)."""
+    A, tz, M = p_idx.shape
+    P = len(flat_cols)
+    F = jnp.stack(flat_cols, axis=1)           # (cap, P)
+    idx = jnp.maximum(p_idx.reshape(-1), 0)
+    G = F[idx]                                 # (A*tz*M, P) row gather
+    Gt = jax.lax.optimization_barrier(G.T.reshape(-1))
+    # view (P, A, tz, M) -> rows of M; re-gather into (A, P, tz, M)
+    rows = Gt.reshape(P * A * tz, M)
+    ar_a = jnp.arange(A, dtype=jnp.int32)
+    ar_p = jnp.arange(P, dtype=jnp.int32)
+    ar_r = jnp.arange(tz, dtype=jnp.int32)
+    ridx = ((ar_p[None, :, None] * A + ar_a[:, None, None]) * tz +
+            ar_r[None, None, :])               # (A, P, tz)
+    pack = rows[ridx.reshape(-1)].reshape(A, P, tz, M)
+    planes = [pl_[:, None] for pl_ in lead_planes]
+    return jnp.concatenate(planes + [pack], axis=1)
+
+
+def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
+                          dt, interpret=None):
+    """Compact-pack execution of a validated plan: all HBM staging is
+    proportional to ACTIVE blocks (geometric occupancy), not the dense
+    bounding grid — measured ~9x less staged data at dam_break_3d
+    dx=0.02 (11% block activity)."""
+    rec = plan.rec
+    dest_consts = set(dest_store.schema.consts)
+    C = spec.n_cells
+    Md = dest_store.layout.slot_to_particle.shape[0] // C
+    Mss = [s.layout.slot_to_particle.shape[0] // C
+           for s, _ in plan.phases]
+
+    dep_props = set(_XYZH)
+    for _, eqs in plan.phases:
+        for eq in eqs:
+            for a_ in _method_args(eq.loop):
+                if a_ in _SYM_DEPS:
+                    dep_props.update(_SYM_DEPS[a_])
+    d_props = sorted((rec.d_read | set(rec.out_ops) | dep_props) -
+                     dest_consts)
+    out_props = list(rec.out_ops)
+    fdt = dest_store.flat['x'].dtype
+
+    nx, ny, nz, kper, tz, n_zt, nz_p = _tiling(spec, Md, max(Mss))
+    B = nx * ny * n_zt
+
+    from pysph_tpu.sph.acceleration_eval import FlatView
+    fview = FlatView(dest_store)
+
+    # ---- active dest blocks -----------------------------------------
+    act_d = _block_activity(dest_store.layout, Md, nx, ny, nz, n_zt,
+                            tz)
+    frac = spec.block_frac_for(dest_store.schema.name)
+    A_max = min(B, int(np.ceil(frac * B)) + 8) if frac < 1.0 else B
+    ids, _inv_d_unused, na, block_ovf = _active_ids(act_d, A_max, B)
+    bi = ids // (ny * n_zt)
+    bj = (ids // n_zt) % ny
+    bz = ids % n_zt
+    na_pf = na.reshape(1)
+
+    # rows of each active block: cell indices + z validity
+    ar_tz = jnp.arange(tz, dtype=jnp.int32)
+    zcell = bz[:, None] * tz + ar_tz[None, :]            # (A, tz)
+    zok = zcell < nz
+    cell_idx = ((bi * ny + bj)[:, None] * nz +
+                jnp.minimum(zcell, nz - 1))              # (A, tz)
+
+    p_idx_d = _compact_rows(dest_store.layout, Md, cell_idx, zok)
+    dmask = (p_idx_d >= 0)
+    wm_flat = jnp.where(write_mask_flat, 1.0, 0.0).astype(fdt)
+    d_pack = _gather_pack(
+        [wm_flat] + [jnp.asarray(fview[p], fdt) for p in d_props],
+        p_idx_d, [])
+    # insert the slot-mask plane after the write-mask plane
+    d_pack = jnp.concatenate(
+        [d_pack[:, :1], dmask.astype(fdt)[:, None], d_pack[:, 1:]],
+        axis=1)
+    # write mask only meaningful on real slots
+    d_pack = d_pack.at[:, 0].multiply(dmask.astype(fdt))
+
+    d_const_list = sorted(rec.d_consts)
+    const_map = lambda a, *refs: (0, 0)  # noqa: E731
+    dest_map = lambda a, *refs: (a, 0, 0, 0)  # noqa: E731
+
+    oys = (0,) if ny == 1 else (-1, 0, 1)
+    oxs = (0,) if nx == 1 else (-1, 0, 1)
+
+    ins = []
+    in_specs = []
+    scal = jnp.stack([jnp.asarray(t, fdt),
+                      jnp.asarray(dt, fdt)]).reshape(1, 2)
+    ins.append(scal)
+    in_specs.append(pl.BlockSpec((1, 2), const_map))
+    ins.append(d_pack)
+    in_specs.append(pl.BlockSpec((1, 2 + len(d_props), tz, Md),
+                                 dest_map))
+    for p in d_const_list:
+        c = jnp.asarray(dest_store[p]).reshape(1, -1)
+        ins.append(c)
+        in_specs.append(pl.BlockSpec(c.shape, const_map))
+
+    # ---- sources -----------------------------------------------------
+    inv_srcs = []
+    src_metas = []
+    eqs_list = []
+    for si, ((src_store, eqs), Ms, (s_read, s_consts)) in enumerate(
+            zip(plan.phases, Mss, rec.sources)):
+        src_consts = set(src_store.schema.consts)
+        s_props = tuple(sorted((s_read | dep_props) - src_consts))
+        s_const_list = sorted(s_consts)
+        sname = src_store.schema.name
+        act_s = _block_activity(src_store.layout, Ms, nx, ny, nz,
+                                n_zt, tz)
+        sfrac = spec.block_frac_for(sname)
+        A_s = min(B, int(np.ceil(sfrac * B)) + 8) if sfrac < 1.0 \
+            else B
+        s_ids, inv_s, _ns, s_ovf = _active_ids(act_s, A_s, B)
+        block_ovf = block_ovf | s_ovf
+        inv_srcs.append(inv_s)
+
+        sbi = s_ids // (ny * n_zt)
+        sbj = (s_ids // n_zt) % ny
+        sbz = s_ids % n_zt
+        szcell = sbz[:, None] * tz + ar_tz[None, :]
+        szok = szcell < nz
+        scell = ((sbi * ny + sbj)[:, None] * nz +
+                 jnp.minimum(szcell, nz - 1))
+        p_idx_s = _compact_rows(src_store.layout, Ms, scell, szok)
+        sfv = FlatView(src_store)
+        base = _gather_pack(
+            [jnp.asarray(sfv[p], fdt) for p in s_props], p_idx_s,
+            [(p_idx_s >= 0).astype(fdt)])      # (A_s, 1+Ps, tz, Ms)
+
+        # z lane-concat with sentinel rows: entry 0 of the final pack
+        # is the reserved all-zero block; entries 1..A_s map active
+        # source blocks.  For target row (b, r, oz): locate the block
+        # holding z-cell zt*tz + r + oz via inv_s.
+        Pp = 1 + len(s_props)
+        rowsM = base.reshape(A_s * Pp * tz, Ms)
+        z3 = szcell[:, :, None] + jnp.asarray([-1, 0, 1])  # (A_s,tz,3)
+        if kper[2]:
+            z3 = jnp.mod(z3, nz)
+            z_in = jnp.ones_like(z3, dtype=bool)
+        else:
+            z_in = (z3 >= 0) & (z3 < nz)
+        zt2 = jnp.clip(z3, 0, nz - 1) // tz
+        r2 = jnp.clip(z3, 0, nz - 1) % tz
+        nb_flat = ((sbi * ny + sbj)[:, None, None] * n_zt + zt2)
+        a2 = inv_s[nb_flat]                    # (A_s, tz, 3); 0=empty
+        vmask = z_in & (a2 > 0)
+        # base is block-major (A_s, Pp, tz, Ms): row of (block a2-1,
+        # plane p, z-row r2) is ((a2-1)*Pp + p)*tz + r2
+        ar_p = jnp.arange(Pp, dtype=jnp.int32)
+        ridx = ((jnp.maximum(a2 - 1, 0)[:, None] * Pp +
+                 ar_p[None, :, None, None]) * tz +
+                r2[:, None])                   # (A_s, Pp, tz, 3)
+        got = rowsM[ridx.reshape(-1)].reshape(A_s, Pp, tz, 3, Ms)
+        got = jnp.where(vmask[:, None, :, :, None], got, 0)
+        s_pack = got.reshape(A_s, Pp, tz, 3 * Ms)
+        s_pack = jnp.concatenate(
+            [jnp.zeros((1,) + s_pack.shape[1:], s_pack.dtype),
+             s_pack], axis=0)                  # reserved entry 0
+
+        def smap(a, bi_, bj_, bz_, na_, *invs, ox=0, oy=0, si=si):
+            i2 = bi_[a] + ox
+            j2 = bj_[a] + oy
+            if kper[0]:
+                i2 = jax.lax.rem(i2 + jnp.int32(nx), jnp.int32(nx))
+                iok = True
+            else:
+                iok = (i2 >= 0) & (i2 <= nx - 1)
+            if kper[1]:
+                j2 = jax.lax.rem(j2 + jnp.int32(ny), jnp.int32(ny))
+                jok = True
+            else:
+                jok = (j2 >= 0) & (j2 <= ny - 1)
+            flat = (jnp.clip(i2, 0, nx - 1) * ny +
+                    jnp.clip(j2, 0, ny - 1)) * n_zt + bz_[a]
+            e = invs[si][flat]
+            if iok is not True:
+                e = jnp.where(iok, e, 0)
+            if jok is not True:
+                e = jnp.where(jok, e, 0)
+            return (e, 0, 0, 0)
+
+        spec_blk = (1, Pp, tz, 3 * Ms)
+        for oy in oys:
+            for ox in oxs:
+                ins.append(s_pack)
+                in_specs.append(pl.BlockSpec(
+                    spec_blk,
+                    functools.partial(smap, ox=ox, oy=oy)))
+        for p in s_const_list:
+            c = jnp.asarray(src_store[p]).reshape(1, -1)
+            ins.append(c)
+            in_specs.append(pl.BlockSpec(c.shape, const_map))
+        src_metas.append((s_props, tuple(s_const_list)))
+        eqs_list.append(eqs)
+
+    Po = len(out_props)
+    out_spec = pl.BlockSpec((1, Po, tz, Md), dest_map)
+    out_shape = jax.ShapeDtypeStruct((A_max, Po, tz, Md), fdt)
+
+    meta = (tz, Md, oys, oxs, tuple(d_props), tuple(d_const_list),
+            tuple(src_metas), tuple(out_props), dict(rec.out_ops))
+    kern = functools.partial(_pair_kernel_compact, eqs_list,
+                             plan.kernel_obj, plan.domain,
+                             plan.radius_scale, meta)
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+    from jax.experimental.pallas import tpu as pltpu
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4 + len(inv_srcs), grid=(A_max,),
+        in_specs=in_specs, out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((tz, Md), fdt)
+                        for _ in out_props])
+    outp = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret)(bi, bj, bz, na_pf, *inv_srcs, *ins)
+
+    # ---- fold outputs straight back to flat particle order ----------
+    # every active particle's block is dest-active by construction, so
+    # its compacted slot exists (unless block_ovf -> step is redone).
+    _ids2, inv_d, _na2, _ovf2 = _active_ids(act_d, A_max, B)
+    lay = dest_store.layout
+    cap = dest_store.flat['x'].shape[0]
+    n_slots = C * Md
+    s_part = jnp.minimum(lay.particle_to_slot, n_slots - 1)
+    has_slot = lay.particle_to_slot < n_slots
+    cell_p = s_part // Md
+    m_p = s_part % Md
+    iz = cell_p % nz
+    jy = (cell_p // nz) % ny
+    ix = cell_p // (ny * nz)
+    a_p = inv_d[(ix * ny + jy) * n_zt + iz // tz] - 1
+    ok = has_slot & (a_p >= 0)
+    r_p = iz % tz
+    # (A_max, Po, tz, Md) -> rows of Po per compact slot
+    out_rows = jax.lax.optimization_barrier(
+        outp.transpose(0, 2, 3, 1).reshape(-1))
+    row_of = ((jnp.maximum(a_p, 0) * tz + r_p) * Md + m_p)
+    vals = out_rows.reshape(A_max * tz * Md, Po)[row_of]  # (cap, Po)
+    vals_t = jax.lax.optimization_barrier(vals.T.reshape(-1))
+    for po, p in enumerate(out_props):
+        col = vals_t[po * cap:(po + 1) * cap]
+        old = fview[p]
+        fview[p] = jnp.where(ok, col.astype(old.dtype), old)
     return block_ovf

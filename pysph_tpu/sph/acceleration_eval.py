@@ -359,8 +359,9 @@ class GridPairContext(object):
     the dense stencil blocks."""
 
     SYMBOLS = ('HIJ', 'EPS', 'RHOIJ', 'RHOIJ1', 'XIJ', 'VIJ', 'R2IJ',
-               'RIJ', 'WIJ', 'WI', 'WJ', 'DWIJ', 'DWI', 'DWJ', 'GHI',
-               'GHJ', 'GHIJ', 'WDASHI', 'WDASHJ', 'WDASHIJ', 'WDP')
+               'RIJ', 'RINV', 'WIJ', 'WI', 'WJ', 'DWIJ', 'DWI', 'DWJ',
+               'GHI', 'GHJ', 'GHIJ', 'WDASHI', 'WDASHJ', 'WDASHIJ',
+               'WDP')
 
     def __init__(self, dest_store, src_store, stencil, kernel, domain,
                  radius_scale, base_write_mask):
@@ -470,66 +471,111 @@ class GridPairContext(object):
         xij = self.sym('XIJ')
         return xij[0] ** 2 + xij[1] ** 2 + xij[2] ** 2
 
+    def _c_rinv(self):
+        """Guarded 1/RIJ via rsqrt — shared by RIJ, every kernel
+        gradient, and the CFL factor (1/R2IJ = RINV*RINV), replacing
+        one sqrt plus several per-pair divisions."""
+        r2 = self.sym('R2IJ')
+        return jnp.where(r2 > 1e-24, jax.lax.rsqrt(
+            jnp.where(r2 > 1e-24, r2, 1.0)), 0.0)
+
     def _c_rij(self):
-        return jnp.sqrt(self.sym('R2IJ'))
+        return self.sym('R2IJ') * self.sym('RINV')
 
     def _safe_h(self, h):
         return jnp.where(h > 0.0, h, 1.0)
 
+    def _recip(self, x):
+        return 1.0 / x
+
+    def _kparts(self, kind):
+        """Shared kernel sub-expressions per smoothing-length choice
+        ('ij' = HIJ, 'i' = dest h, 'j' = source h): one reciprocal,
+        one ``_shape`` evaluation, and the normalization fac feed all
+        of W/DW/WDASH/GH for that h — the dominant per-pair
+        transcendental cost evaluated once instead of per symbol."""
+        key = '_KP_' + kind
+        if key not in self._sym:
+            if kind == 'ij':
+                h = self._safe_h(self.sym('HIJ'))
+            elif kind == 'i':
+                h = self._safe_h(self.dget('h'))
+            else:
+                h = self._safe_h(self.sget('h'))
+            h1 = self._recip(h)
+            q = self.sym('RIJ') * h1
+            w, dw = self.kernel._shape(q)
+            dim = self.kernel.dim
+            fac = self.kernel.fac * (
+                h1 if dim == 1 else h1 * h1 if dim == 2
+                else h1 * h1 * h1)
+            self._sym[key] = (h1, q, w, dw, fac)
+        return self._sym[key]
+
     def _c_wij(self):
-        return self.kernel.kernel(self.sym('XIJ'), self.sym('RIJ'),
-                                  self._safe_h(self.sym('HIJ')))
+        _h1, _q, w, _dw, fac = self._kparts('ij')
+        return w * fac
 
     def _c_wi(self):
-        return self.kernel.kernel(self.sym('XIJ'), self.sym('RIJ'),
-                                  self._safe_h(self.dget('h')))
+        _h1, _q, w, _dw, fac = self._kparts('i')
+        return w * fac
 
     def _c_wj(self):
-        return self.kernel.kernel(self.sym('XIJ'), self.sym('RIJ'),
-                                  self._safe_h(self.sget('h')))
+        _h1, _q, w, _dw, fac = self._kparts('j')
+        return w * fac
 
-    def _grad(self, h):
-        g = self.kernel.gradient(self.sym('XIJ'), self.sym('RIJ'),
-                                 self._safe_h(h))
-        return SymVec([g[0], g[1], g[2]])
+    def _grad(self, kind):
+        h1, _q, _w, dw, fac = self._kparts(kind)
+        xij = self.sym('XIJ')
+        rij = self.sym('RIJ')
+        # reference guard: gradient is zero at rij <= 1e-12
+        # (kernels.py:128-132); RINV is already zero there
+        tmp = jnp.where(rij > 1e-12, dw * fac * h1 * self.sym('RINV'),
+                        0.0)
+        return SymVec([tmp * xij[0], tmp * xij[1], tmp * xij[2]])
 
     def _c_dwij(self):
-        return self._grad(self.sym('HIJ'))
+        return self._grad('ij')
 
     def _c_dwi(self):
-        return self._grad(self.dget('h'))
+        return self._grad('i')
 
     def _c_dwj(self):
-        return self._grad(self.sget('h'))
+        return self._grad('j')
+
+    def _gradh(self, kind):
+        h1, q, w, dw, fac = self._kparts(kind)
+        return -fac * h1 * (dw * q + w * self.kernel.dim)
 
     def _c_ghi(self):
-        return self.kernel.gradient_h(self.sym('XIJ'), self.sym('RIJ'),
-                                      self._safe_h(self.dget('h')))
+        return self._gradh('i')
 
     def _c_ghj(self):
-        return self.kernel.gradient_h(self.sym('XIJ'), self.sym('RIJ'),
-                                      self._safe_h(self.sget('h')))
+        return self._gradh('j')
 
     def _c_ghij(self):
-        return self.kernel.gradient_h(self.sym('XIJ'), self.sym('RIJ'),
-                                      self._safe_h(self.sym('HIJ')))
+        return self._gradh('ij')
 
     def _c_wdashi(self):
-        return self.kernel.dwdq(self.sym('RIJ'),
-                                self._safe_h(self.dget('h')))
+        _h1, _q, _w, dw, fac = self._kparts('i')
+        return dw * fac
 
     def _c_wdashj(self):
-        return self.kernel.dwdq(self.sym('RIJ'),
-                                self._safe_h(self.sget('h')))
+        _h1, _q, _w, dw, fac = self._kparts('j')
+        return dw * fac
 
     def _c_wdashij(self):
-        return self.kernel.dwdq(self.sym('RIJ'),
-                                self._safe_h(self.sym('HIJ')))
+        _h1, _q, _w, dw, fac = self._kparts('ij')
+        return dw * fac
 
     def _c_wdp(self):
-        hij = self._safe_h(self.sym('HIJ'))
-        return self.kernel.kernel(self.sym('XIJ'),
-                                  self.kernel.get_deltap() * hij, hij)
+        # W at rij = deltap*h: q = deltap exactly, so the shape
+        # polynomial is a compile-time constant — only fac is
+        # pair-shaped.
+        _h1, _q, _w, _dw, fac = self._kparts('ij')
+        w_dp, _ = self.kernel._shape(
+            jnp.asarray(self.kernel.get_deltap()))
+        return fac * w_dp
 
 
 class ReduceView(object):
@@ -1094,9 +1140,14 @@ class AccelerationEval(object):
             for eq in eqs:
                 for src in (eq.sources or ()):
                     sources.setdefault(src, []).append(eq)
-            # slot-space write mask only needed by pair phases
+            # slot-space write mask: only the XLA pair path needs it
+            # (the compact pallas path works in flat space), so hand
+            # plans a thunk that converts lazily
             write_mask = (self._write_mask(group, store) if sources
-                          else None)
+                          and not is_slot else None)
+            if sources and is_slot:
+                write_mask = lambda g=group, s=store: \
+                    self._write_mask(g, s)  # noqa: E731
 
             # Fuse all of this dest's sources into ONE pallas call
             # when possible: launch overhead, dest DMA and output
@@ -1112,7 +1163,8 @@ class AccelerationEval(object):
                     store, handle)
             if fused is not None:
                 self._note_block_overflow(fused.execute(
-                    store, handle.spec, write_mask, t, dt))
+                    store, handle.spec, write_mask, t, dt,
+                    write_mask_flat=fmask))
                 sources = OrderedDict()
 
             for src, src_eqs in sources.items():
@@ -1131,8 +1183,11 @@ class AccelerationEval(object):
                             src_schema=self.schemas[src])
                 if plan is not None:
                     self._note_block_overflow(plan.execute(
-                        store, handle.spec, write_mask, t, dt))
+                        store, handle.spec, write_mask, t, dt,
+                        write_mask_flat=fmask))
                     continue
+                if callable(write_mask):
+                    write_mask = self._write_mask(group, store)
                 stencil = StencilView(handle.spec, src_store.layout)
                 ctx = GridPairContext(
                     store, src_store, stencil, kernel, self.domain,

@@ -63,6 +63,10 @@ class MomentumEquation(Equation):
         self.c0 = c0
         self.tensile_correction = tensile_correction
         super(MomentumEquation, self).__init__(dest, sources)
+        # the tensile correction needs WIJ/WDP (an extra kernel
+        # evaluation per pair); skip requesting them entirely when off
+        if tensile_correction:
+            self.loop = self._loop_tensile
 
     def initialize(self, d_idx, d_au, d_av, d_aw, d_dt_cfl):
         d_au[d_idx] = 0.0
@@ -70,9 +74,10 @@ class MomentumEquation(Equation):
         d_aw[d_idx] = 0.0
         d_dt_cfl[d_idx] = 0.0
 
-    def loop(self, d_idx, s_idx, d_rho, d_cs, d_p, d_au, d_av, d_aw,
-             s_m, s_rho, s_cs, s_p, VIJ, XIJ, HIJ, R2IJ, RHOIJ1, EPS,
-             DWIJ, WIJ, WDP, d_dt_cfl):
+    def _core(self, d_idx, s_idx, d_rho, d_cs, d_p, s_rho, s_cs, s_p,
+              VIJ, XIJ, HIJ, R2IJ, RHOIJ1, RINV, EPS, d_dt_cfl):
+        """Shared pressure-gradient + artificial-viscosity factor;
+        returns (tmpi, tmpj, piij)."""
         rhoi21 = 1.0 / (d_rho[d_idx] * d_rho[d_idx])
         rhoj21 = 1.0 / (s_rho[s_idx] * s_rho[s_idx])
 
@@ -84,26 +89,40 @@ class MomentumEquation(Equation):
                 self.beta * muij * muij) * RHOIJ1
         piij = jnp.where(vijdotxij < 0, piij, 0.0)
 
-        # CFL timestep factor (max-accumulated over neighbors)
-        r2_safe = jnp.where(R2IJ > 1e-12, R2IJ, 1.0)
-        _dt_cfl = jnp.where(R2IJ > 1e-12,
-                            jnp.abs(HIJ * vijdotxij / r2_safe) + self.c0,
-                            0.0)
+        # CFL timestep factor (max-accumulated over neighbors);
+        # 1/R2IJ = RINV*RINV, no extra division
+        _dt_cfl = jnp.where(
+            R2IJ > 1e-12,
+            jnp.abs(HIJ * vijdotxij) * RINV * RINV + self.c0, 0.0)
         d_dt_cfl[d_idx] = MAX(_dt_cfl, d_dt_cfl[d_idx])
 
-        tmpi = d_p[d_idx] * rhoi21
-        tmpj = s_p[s_idx] * rhoj21
+        return d_p[d_idx] * rhoi21, s_p[s_idx] * rhoj21, piij
 
-        Ri = 0.0
-        Rj = 0.0
+    def loop(self, d_idx, s_idx, d_rho, d_cs, d_p, d_au, d_av, d_aw,
+             s_m, s_rho, s_cs, s_p, VIJ, XIJ, HIJ, R2IJ, RHOIJ1, RINV,
+             EPS, DWIJ, d_dt_cfl):
+        tmpi, tmpj, piij = self._core(
+            d_idx, s_idx, d_rho, d_cs, d_p, s_rho, s_cs, s_p, VIJ,
+            XIJ, HIJ, R2IJ, RHOIJ1, RINV, EPS, d_dt_cfl)
+        tmp = tmpi + tmpj
+        d_au[d_idx] += -s_m[s_idx] * (tmp + piij) * DWIJ[0]
+        d_av[d_idx] += -s_m[s_idx] * (tmp + piij) * DWIJ[1]
+        d_aw[d_idx] += -s_m[s_idx] * (tmp + piij) * DWIJ[2]
+
+    def _loop_tensile(self, d_idx, s_idx, d_rho, d_cs, d_p, d_au,
+                      d_av, d_aw, s_m, s_rho, s_cs, s_p, VIJ, XIJ,
+                      HIJ, R2IJ, RHOIJ1, RINV, EPS, DWIJ, WIJ, WDP,
+                      d_dt_cfl):
+        tmpi, tmpj, piij = self._core(
+            d_idx, s_idx, d_rho, d_cs, d_p, s_rho, s_cs, s_p, VIJ,
+            XIJ, HIJ, R2IJ, RHOIJ1, RINV, EPS, d_dt_cfl)
         fij = WIJ / WDP
-        if self.tensile_correction:
-            fij = fij * fij
-            fij = fij * fij
-            Ri = jnp.where(d_p[d_idx] > 0, 0.01 * tmpi,
-                           0.2 * jnp.abs(tmpi))
-            Rj = jnp.where(s_p[s_idx] > 0, 0.01 * tmpj,
-                           0.2 * jnp.abs(tmpj))
+        fij = fij * fij
+        fij = fij * fij
+        Ri = jnp.where(d_p[d_idx] > 0, 0.01 * tmpi,
+                       0.2 * jnp.abs(tmpi))
+        Rj = jnp.where(s_p[s_idx] > 0, 0.01 * tmpj,
+                       0.2 * jnp.abs(tmpj))
 
         tmp = (tmpi + tmpj) + (Ri + Rj) * fij
         d_au[d_idx] += -s_m[s_idx] * (tmp + piij) * DWIJ[0]
