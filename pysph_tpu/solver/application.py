@@ -459,5 +459,28 @@ class Application(object):
                          cpu_time=self._solve_time)
         for tool in self.tools:
             tool.post_run(self)
+        self._finalize_profile()
         logger.info('Run took %.2f s (setup %.2f s)', self._solve_time,
                     self._setup_time)
+
+    def _finalize_profile(self):
+        """Write profile_info.csv (always, like the reference's
+        run-end CSV, reference application.py:1398-1409); with
+        ``--profile`` additionally measure a per-(stage, group, dest)
+        device breakdown and print the table."""
+        reg = getattr(self.solver, 'profiler', None)
+        if reg is None:
+            return
+        if getattr(self.options, 'profile', False):
+            from pysph_tpu.utils.profile import acceleration_breakdown
+            try:
+                acceleration_breakdown(self.solver, reg)
+            except Exception:
+                logger.exception('per-group profile breakdown failed')
+            print(reg.report())
+        try:
+            import os
+            reg.to_csv(os.path.join(self.output_dir,
+                                    'profile_info.csv'))
+        except OSError:
+            logger.warning('could not write profile_info.csv')

@@ -57,6 +57,8 @@ class Solver(object):
         self.fname = self.__class__.__name__
         self.output_directory = self.fname + '_output'
         self.n_damp = n_damp
+        from pysph_tpu.utils.profile import ProfileRegistry
+        self.profiler = ProfileRegistry()
         self.adaptive_timestep = adaptive_timestep
         self.cfl = cfl
         self.output_at_times = np.asarray(output_at_times)
@@ -388,11 +390,12 @@ class Solver(object):
                 th = np.float32(self.t)
                 tl = np.float32(self.t - float(th))
                 pre_blob, pre_cblob = self._blob, self._cblob
-                blob, cblob, scal = self._packed['chunk'](
-                    self._blob, self._cblob, th, tl,
-                    np.float32(self.dt), np.float32(t_stop),
-                    np.int32(n_real))
-                scal = np.asarray(scal)  # ONE host round trip
+                with self.profiler.timer('solve.chunk_dispatch'):
+                    blob, cblob, scal = self._packed['chunk'](
+                        self._blob, self._cblob, th, tl,
+                        np.float32(self.dt), np.float32(t_stop),
+                        np.int32(n_real))
+                    scal = np.asarray(scal)  # ONE host round trip
                 if scal[4] > 0 or scal[5] > 0 or scal[7] > 0:
                     # overflow somewhere in the chunk: grow the grid
                     # and redo from the saved pre-chunk state,
@@ -441,11 +444,13 @@ class Solver(object):
 
             if self._blob is not None:
                 pre_blob = self._blob
-                blob, dblob, cblob = self._packed['step'](
-                    self._blob, self.t, self.dt, self._cblob)
-                # fetch the diag blob(s) once: bool() on each flag
-                # separately would cost one ~28 ms round trip each
-                dblob = {k: np.asarray(v) for k, v in dblob.items()}
+                with self.profiler.timer('solve.step_dispatch'):
+                    blob, dblob, cblob = self._packed['step'](
+                        self._blob, self.t, self.dt, self._cblob)
+                    # fetch the diag blob(s) once: bool() on each
+                    # flag separately costs a ~28 ms round trip each
+                    dblob = {k: np.asarray(v)
+                             for k, v in dblob.items()}
                 if any(v.any() for v in dblob.values()):
                     diag = jax.tree_util.tree_map(
                         lambda a: bool(np.asarray(a)),
@@ -471,8 +476,10 @@ class Solver(object):
                     self._cblob = cblob
             else:
                 pre_states = self.states
-                new_states, diag, carry = self._step_fn(
-                    self.states, self.t, self.dt, self._nnps_carry)
+                with self.profiler.timer('solve.step_dispatch'):
+                    new_states, diag, carry = self._step_fn(
+                        self.states, self.t, self.dt,
+                        self._nnps_carry)
                 if self._check_overflow(diag):
                     # grow capacities, re-jit, and redo the step from
                     # the saved pre-step state so no neighbors are
@@ -586,6 +593,10 @@ class Solver(object):
     def dump_output(self):
         if self.disable_output:
             return
+        with self.profiler.timer('solve.output'):
+            self._dump_output_impl()
+
+    def _dump_output_impl(self):
         self._sync_to_host()
         mkdir(self.output_directory)
         fname = os.path.join(self.output_directory,

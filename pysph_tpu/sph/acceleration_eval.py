@@ -1110,7 +1110,11 @@ class AccelerationEval(object):
         if group.pre is not None:
             group.pre()
         kernel = self.kernel
+        gname = getattr(group, 'name', None) or 'Group'
         for dest, eqs in self._dest_order(group).items():
+            scope = jax.named_scope(
+                'AEval.%s_d_%s' % (gname, dest))
+            scope.__enter__()
             schema = self.schemas[dest]
             store = stores[dest]
             is_slot = isinstance(store, SlotStore)
@@ -1204,6 +1208,7 @@ class AccelerationEval(object):
                 if fn is not None:
                     _bind_particle_phase(fn, fstore, schema, fmask,
                                          t, dt, kernel)
+            scope.__exit__(None, None, None)
             for eq in eqs:
                 fn = getattr(eq, 'reduce', None)
                 if fn is not None:
