@@ -173,6 +173,13 @@ class ArrayView(object):
         index must go through ``particle_to_slot``."""
         layout = getattr(self.store, 'layout', None)
         if layout is None or self.is_const or not hasattr(key, 'dtype'):
+            # reference props used as indices (parent_idx,
+            # closest_idx) are double arrays; coerce like the
+            # generated Cython's implicit cast
+            if hasattr(key, 'dtype') and not (
+                    jnp.issubdtype(key.dtype, jnp.integer) or
+                    key.dtype == jnp.bool_):
+                return jnp.asarray(key).astype(jnp.int32)
             return key
         p2s = layout.particle_to_slot
         idx = jnp.clip(jnp.asarray(key).astype(jnp.int32), 0,

@@ -56,6 +56,14 @@ EXAMPLES = [
     ('pysph_tpu.examples.wallshock', 'WallShock', ['--nl', '80']),
     ('pysph_tpu.examples.sjogreen', 'SjoGreen', ['--nl', '80']),
     ('pysph_tpu.examples.robert', 'Robert', ['--nl', '80']),
+    ('pysph_tpu.examples.cylindrical_dambreak_sloping_bed',
+     'CylindricalDamBreakSlopingBed', ['--n', '15']),
+    ('pysph_tpu.examples.rectangular_dambreak_sloping_bed',
+     'RectangularDamBreakSlopingBed', ['--dx', '0.1']),
+    ('pysph_tpu.examples.rectangular_dambreak_split',
+     'RectangularDamBreakSplit', ['--dx', '0.1']),
+    ('pysph_tpu.examples.rectangular_dambreak_split_merge',
+     'RectangularDamBreakSplitMerge', ['--dx', '0.1']),
 ]
 
 
