@@ -56,11 +56,12 @@ class GradientCorrection(Equation):
     def loop(self, d_idx, d_m_mat, DWIJ, HIJ):
         n = self.dim
         eps = 1.0e-4 * HIJ
-        # (N, n, n) moment matrix per destination particle
+        # dest reads are (..., 1)-shaped (grid mode: (C, M, 1));
+        # build the (..., n, n) moment matrix shape-agnostically
         rows = []
         for i in range(n):
             rows.append(jnp.stack(
-                [d_m_mat[9 * d_idx + 3 * i + j][:, 0]
+                [d_m_mat[9 * d_idx + 3 * i + j][..., 0]
                  for j in range(n)], axis=-1))
         A = jnp.stack(rows, axis=-2)
         Ainv = jnp.linalg.inv(A)
@@ -68,7 +69,7 @@ class GradientCorrection(Equation):
         for i in range(n):
             acc = 0.0
             for j in range(n):
-                acc = acc + Ainv[:, i, j][:, None] * DWIJ[j]
+                acc = acc + Ainv[..., i, j][..., None] * DWIJ[j]
             res.append(acc)
         res_mag = sum(jnp.abs(res[i]) for i in range(n))
         dwij_mag = sum(jnp.abs(DWIJ[i]) for i in range(n))
@@ -135,7 +136,7 @@ class MixedGradientCorrection(Equation):
         rows = []
         for i in range(n):
             rows.append(jnp.stack(
-                [d_m_mat[9 * d_idx + 3 * i + j][:, 0]
+                [d_m_mat[9 * d_idx + 3 * i + j][..., 0]
                  for j in range(n)], axis=-1))
         A = jnp.stack(rows, axis=-2)
         Ainv = jnp.linalg.inv(A)
@@ -143,7 +144,7 @@ class MixedGradientCorrection(Equation):
         for i in range(n):
             acc = 0.0
             for j in range(n):
-                acc = acc + Ainv[:, i, j][:, None] * dwij[j]
+                acc = acc + Ainv[..., i, j][..., None] * dwij[j]
             res.append(acc)
         res_mag = sum(jnp.abs(res[i]) for i in range(n))
         dwij_mag = sum(jnp.abs(dwij[i]) for i in range(n))

@@ -64,6 +64,11 @@ EXAMPLES = [
      'RectangularDamBreakSplit', ['--dx', '0.1']),
     ('pysph_tpu.examples.rectangular_dambreak_split_merge',
      'RectangularDamBreakSplitMerge', ['--dx', '0.1']),
+    ('pysph_tpu.examples.moving_square', 'MovingSquare',
+     ['--nx', '12']),
+    ('pysph_tpu.examples.sloshing_tank_pitch', 'SloshingTankPitch',
+     ['--dx', '0.06']),
+    ('pysph_tpu.examples.circular_droplet', 'CircularDroplet', []),
 ]
 
 
