@@ -69,6 +69,12 @@ EXAMPLES = [
     ('pysph_tpu.examples.sloshing_tank_pitch', 'SloshingTankPitch',
      ['--dx', '0.06']),
     ('pysph_tpu.examples.circular_droplet', 'CircularDroplet', []),
+    ('pysph_tpu.examples.kelvin_helmholtz', 'KHInstability',
+     ['--nx', '40']),
+    ('pysph_tpu.examples.kelvin_helmholtz', 'KHInstability',
+     ['--nx', '40', '--scheme', 'adke']),
+    ('pysph_tpu.examples.dam_break_3d_rigid', 'DamBreak3DRigid',
+     ['--dx', '0.06']),
 ]
 
 
