@@ -165,3 +165,133 @@ def remove_overlap_particles(fluid_parray, solid_parray, dx_solid, dim=3):
                                  dim)
     if len(idx):
         fluid_parray.remove_particles(idx)
+
+
+def matrix_exp(matrix):
+    """Matrix exponential via the scaling-free Taylor series
+    (reference geometry.py:25; used by the rotation helper)."""
+    A = np.asarray(matrix, dtype=np.float64)
+    result = np.eye(A.shape[0])
+    term = np.eye(A.shape[0])
+    for n in range(1, 64):
+        term = term @ A / n
+        result = result + term
+        denom = np.sqrt(np.sum(result * result))
+        if np.sqrt(np.sum(term * term)) <= 1e-16 * denom:
+            break
+    return result
+
+
+def _naca_thickness(xc, t):
+    """Half-thickness distribution of the NACA 4/5-digit families
+    (standard published polynomial)."""
+    return 5.0 * t * (0.2969 * np.sqrt(xc) - 0.1260 * xc -
+                      0.3516 * xc ** 2 + 0.2843 * xc ** 3 -
+                      0.1015 * xc ** 4)
+
+
+def _fill_airfoil(dx, c, camber_fn, t):
+    """Fill the area between the cambered upper/lower surfaces with a
+    solid lattice of particles (vectorized; the reference loops over
+    candidate points, geometry.py:479-668)."""
+    n = int(c / dx) + 1
+    gx, gy = np.mgrid[0:c:n * 1j, -c / 2.0:c / 2.0:n * 1j]
+    x, y = gx.ravel(), gy.ravel()
+    xc = x / c
+    yt = _naca_thickness(xc, t)
+    yc, dydx = camber_fn(xc)
+    theta = np.arctan(dydx)
+    upper = y >= 0.0
+    keep_u = upper & (y <= yc + yt * np.cos(theta))
+    keep_l = ~upper & (y >= yc - yt * np.cos(theta))
+    xs = np.where(upper, x - yt * np.sin(theta),
+                  x + yt * np.sin(theta))
+    keep = keep_u | keep_l
+    return xs[keep], y[keep]
+
+
+def get_4digit_naca_airfoil(dx=0.01, airfoil='0012', c=1.0):
+    """Solid 2D NACA 4-digit airfoil (reference geometry.py:479):
+    digit 1 = max camber %, digit 2 = camber position / 10, digits
+    3-4 = thickness %."""
+    t = float(airfoil[2:]) * 0.01 * c
+    m = 0.01 * float(airfoil[0])
+    p = 0.1 * float(airfoil[1])
+
+    def camber(xc):
+        if m == 0.0 or p == 0.0:
+            return np.zeros_like(xc), np.zeros_like(xc)
+        fore = xc <= p
+        yc = np.where(
+            fore, (m / p ** 2) * (2 * p * xc - xc ** 2),
+            (m / (1 - p) ** 2) * (1 - 2 * p + 2 * p * xc - xc ** 2))
+        dydx = np.where(
+            fore, (2 * m / p ** 2) * (p - xc) / c,
+            (2 * m / (1 - p) ** 2) * (p - xc) / c)
+        return yc, dydx
+
+    return _fill_airfoil(dx, c, camber, t)
+
+
+_NACA5_MK = {
+    '210': (0.058, 361.4), '220': (0.126, 51.64),
+    '230': (0.2025, 15.957), '240': (0.290, 6.643),
+    '250': (0.391, 3.23), '221': (0.130, 51.99),
+    '231': (0.217, 15.793), '241': (0.318, 6.52),
+    '251': (0.441, 3.191),
+}
+
+
+def get_5digit_naca_airfoil(dx=0.01, airfoil='23112', c=1.0):
+    """Solid 2D NACA 5-digit airfoil (reference geometry.py:571);
+    camber-line constants from the published m/k table."""
+    t = 0.01 * float(airfoil[3:])
+    m, k = _NACA5_MK[airfoil[:3]]
+
+    def camber(xc):
+        fore = xc <= m
+        yc = np.where(
+            fore,
+            c * (k / 6.0) * (xc ** 3 - 3 * m * xc ** 2 +
+                             m * m * (3 - m) * xc),
+            c * (k * m ** 3 / 6.0) * (1 - xc))
+        dydx = np.where(
+            fore,
+            (k / 6.0) * (3 * xc ** 2 - 6 * m * xc +
+                         m * m * (3 - m)),
+            -(k * m ** 3 / 6.0) * np.ones_like(xc))
+        return yc, dydx
+
+    return _fill_airfoil(dx, c, camber, t)
+
+
+def get_naca_wing(dx=0.01, airfoil='0012', span=1.0, chord=1.0):
+    """Rectangular wing: a NACA section extruded along z
+    (reference geometry.py:636)."""
+    if len(airfoil) == 4:
+        x, y = get_4digit_naca_airfoil(dx, airfoil, chord)
+    else:
+        x, y = get_5digit_naca_airfoil(dx, airfoil, chord)
+    return extrude(x, y, dx, span)
+
+
+def evaluate_area_of_triangle(points):
+    """Area of the triangle spanned by three 3D points
+    (reference geometry.py:670)."""
+    p = np.asarray(points, dtype=np.float64)
+    return 0.5 * np.linalg.norm(np.cross(p[1] - p[0], p[2] - p[0]))
+
+
+def remove_repeated_points(x, y, z, dx_triangle):
+    """Deduplicate points closer than ~dx_triangle (reference
+    geometry.py:698, which uses an SPH fixed-radius query; a sort-grid
+    dedup gives the same result without the engine)."""
+    pts = np.stack([np.asarray(x), np.asarray(y),
+                    np.asarray(z)], axis=1)
+    if not len(pts):
+        return pts[:, 0], pts[:, 1], pts[:, 2]
+    cell = max(float(dx_triangle), 1e-12)
+    keys = np.floor(pts / cell).astype(np.int64)
+    _, keep = np.unique(keys, axis=0, return_index=True)
+    keep.sort()
+    return pts[keep, 0], pts[keep, 1], pts[keep, 2]

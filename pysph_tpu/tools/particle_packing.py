@@ -9,9 +9,13 @@ nearest-boundary-node search uses the chained MIN reduction over the
 pair block; particle deletion (points pushed outside the surface) is
 a host-side callback like every structural edit in this framework.
 
-Not ported: hardpoint pinning and the curved-surface projection
-variants (reference particle_packing.py:989-1074) — these raise
-``NotImplementedError`` for now.
+Hardpoint pinning and the curved-surface projection (reference
+particle_packing.py:989-1074, 1395-1681) are host-side operations
+here: ``setup_hardpoints`` replaces the free particle nearest each
+hardpoint node with a pinned (``hard``) particle carrying the given
+normal, and ``project_to_surface`` snaps the closest free particles
+onto the boundary surface along the nearest node's outward normal and
+pins them.
 """
 
 import numpy as np
@@ -25,7 +29,7 @@ from pysph_tpu.sph.scheme import Scheme
 def get_packing_props():
     return ['u', 'v', 'w', 'au', 'av', 'aw', 'V', 'rho', 'dt_adapt',
             'xn', 'yn', 'zn', 'nearest', 'neartag', 'interior',
-            'hard', 'filter']
+            'hard', 'filter', 'proj']
 
 
 def create_frozen_container_rect(dx, hdx, rho, bound, layers=5,
@@ -108,16 +112,19 @@ def create_free_particles_rect(dx, hdx, rho, bound, dim=2,
 
 
 class InteriorStep(IntegratorStep):
-    """(reference particle_packing.py:698)"""
+    """(reference particle_packing.py:698); ``hard`` particles
+    (hardpoint pins, surface-projected layer) do not move."""
 
     def stage1(self, d_idx, d_x, d_y, d_z, d_u, d_v, d_w, d_au, d_av,
-               d_aw, dt):
-        d_x[d_idx] = d_x[d_idx] + dt * d_u[d_idx]
-        d_y[d_idx] = d_y[d_idx] + dt * d_v[d_idx]
-        d_z[d_idx] = d_z[d_idx] + dt * d_w[d_idx]
-        d_u[d_idx] = d_u[d_idx] + dt * d_au[d_idx]
-        d_v[d_idx] = d_v[d_idx] + dt * d_av[d_idx]
-        d_w[d_idx] = d_w[d_idx] + dt * d_aw[d_idx]
+               d_aw, d_hard, dt):
+        import jax.numpy as jnp
+        free = jnp.where(d_hard[d_idx] > 0.5, 0.0, 1.0)
+        d_x[d_idx] = d_x[d_idx] + dt * free * d_u[d_idx]
+        d_y[d_idx] = d_y[d_idx] + dt * free * d_v[d_idx]
+        d_z[d_idx] = d_z[d_idx] + dt * free * d_w[d_idx]
+        d_u[d_idx] = free * (d_u[d_idx] + dt * d_au[d_idx])
+        d_v[d_idx] = free * (d_v[d_idx] + dt * d_av[d_idx])
+        d_w[d_idx] = free * (d_w[d_idx] + dt * d_aw[d_idx])
 
 
 class SummationDensity(Equation):
@@ -247,17 +254,23 @@ class FindExternalParticles(Equation):
     (reference particle_packing.py:733): positive projection of the
     vector to the nearest boundary node on its outward normal."""
 
-    def initialize(self, d_idx, d_interior):
+    def initialize(self, d_idx, d_interior, d_proj):
         d_interior[d_idx] = 0.0
+        d_proj[d_idx] = 0.0
 
     def loop(self, d_idx, s_idx, s_xn, s_yn, s_zn, XIJ, d_neartag,
-             d_interior, NBRS):
+             d_interior, d_proj, NBRS):
         import jax.numpy as jnp
         match = NBRS == d_neartag[d_idx]
         proj = (XIJ[0] * s_xn[s_idx] + XIJ[1] * s_yn[s_idx] +
                 XIJ[2] * s_zn[s_idx])
         d_interior[d_idx] += jnp.where(
             match, jnp.where(proj > 1e-14, 1.0, -1.0), 0.0)
+        # signed perpendicular distance to the surface along the
+        # nearest node's outward normal (negative inside) — the
+        # curved-surface projection measure (reference
+        # ProjectionToSurfaceBoundary, particle_packing.py:1055)
+        d_proj[d_idx] += jnp.where(match, proj, 0.0)
 
     @staticmethod
     def remove_external(pa):
@@ -298,9 +311,8 @@ class ParticlePacking(Scheme):
         self.k = k
         self.dfreq = dfreq
         self.tol = tol
-        if hardpoints:
-            raise NotImplementedError(
-                'hardpoints are not ported yet')
+        #: {frozen-node index: (nx, ny, nz) outward normal}
+        self.hardpoints = dict(hardpoints or {})
         self.rho0 = 1.0
         self._defaults()
 
@@ -389,6 +401,78 @@ class ParticlePacking(Scheme):
                                ('k', self.k)):
                 if cname not in pa.constants:
                     pa.add_constant(cname, np.array([val]))
+
+    def setup_hardpoints(self, fluid_pa, frozen_pa):
+        """Pin a particle at every hardpoint node (reference
+        setup_hardpoints, particle_packing.py:1629): the nearest free
+        particle is removed and replaced by a ``hard`` particle
+        sitting exactly on the node with the prescribed normal.  Call
+        once after create_particles, before solving."""
+        if not self.hardpoints:
+            return
+        ids = sorted(self.hardpoints)
+        xh = np.asarray(frozen_pa.x)[ids]
+        yh = np.asarray(frozen_pa.y)[ids]
+        zh = np.asarray(frozen_pa.z)[ids]
+        fx = np.asarray(fluid_pa.x)
+        fy = np.asarray(fluid_pa.y)
+        fz = np.asarray(fluid_pa.z)
+        # nearest free particle per hardpoint
+        d2 = ((fx[None, :] - xh[:, None]) ** 2 +
+              (fy[None, :] - yh[:, None]) ** 2 +
+              (fz[None, :] - zh[:, None]) ** 2)
+        nearest = np.argmin(d2, axis=1)
+        fluid_pa.remove_particles(np.unique(nearest))
+        normals = np.array([self.hardpoints[i] for i in ids],
+                           dtype=np.float64).reshape(len(ids), -1)
+        if normals.shape[1] < 3:
+            normals = np.pad(normals,
+                             ((0, 0), (0, 3 - normals.shape[1])))
+        add = dict(x=xh, y=yh, z=zh,
+                   m=np.full(len(ids), float(fluid_pa.m[0])),
+                   h=np.full(len(ids), float(fluid_pa.h[0])),
+                   rho=np.full(len(ids), float(fluid_pa.rho[0])),
+                   xn=normals[:, 0], yn=normals[:, 1],
+                   zn=normals[:, 2],
+                   hard=np.ones(len(ids)))
+        fluid_pa.add_particles(**add)
+
+    def project_to_surface(self, fluid_pa, frac=0.9):
+        """Curved-surface projection (reference
+        _project_particles_to_boundary, particle_packing.py:1395):
+        snap the free particles closest to the surface onto it along
+        the nearest node's outward normal and pin them, producing a
+        body-fitted boundary layer.  Requires the nearest-node props
+        (run the packing equations at least once first)."""
+        xn = np.asarray(fluid_pa.xn)
+        yn = np.asarray(fluid_pa.yn)
+        zn = np.asarray(fluid_pa.zn)
+        has_node = (np.abs(xn) + np.abs(yn) + np.abs(zn)) > 1e-12
+        x = np.array(fluid_pa.x)
+        y = np.array(fluid_pa.y)
+        z = np.array(fluid_pa.z)
+        proj = np.asarray(fluid_pa.proj)
+        hard = np.array(fluid_pa.hard)
+        cand = np.where(has_node & (hard < 0.5) &
+                        (np.abs(proj) < 2 * float(fluid_pa.h[0])))[0]
+        if not cand.size:
+            return 0
+        take = cand[np.argsort(np.abs(proj[cand]))]
+        take = take[:max(1, int(frac * take.size))]
+        # proj = (x_p - x_node) . n (negative inside); the foot of the
+        # perpendicular onto the surface is x_p - proj * n
+        x[take] -= proj[take] * xn[take]
+        y[take] -= proj[take] * yn[take]
+        z[take] -= proj[take] * zn[take]
+        hard[take] = 1.0
+        fluid_pa.x[:] = x
+        fluid_pa.y[:] = y
+        fluid_pa.z[:] = z
+        fluid_pa.hard[:] = hard
+        fluid_pa.u[take] = 0.0
+        fluid_pa.v[take] = 0.0
+        fluid_pa.w[take] = 0.0
+        return take.size
 
     def make_deletion_callback(self, fluid_pa):
         """Post-step callback deleting particles outside the surface

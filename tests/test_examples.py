@@ -75,6 +75,8 @@ EXAMPLES = [
      ['--nx', '40', '--scheme', 'adke']),
     ('pysph_tpu.examples.dam_break_3d_rigid', 'DamBreak3DRigid',
      ['--dx', '0.06']),
+    ('pysph_tpu.examples.naca_airfoil_2d', 'NACAWindTunnel',
+     ['--nx', '6', '--lt', '10', '--wt', '6']),
 ]
 
 

