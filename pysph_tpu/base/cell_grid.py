@@ -210,8 +210,22 @@ class GridSpec(object):
                         n_blk = dims[0] * dims[1] * nzt
                     frac = max(frac,
                                len(np.unique(blk)) / float(n_blk))
-                capacities[name] = max(4, int(-(-int(
-                    occ * capacity_slack) // 4) * 4))
+                # Mosaic pads the dest-row (sublane) dim to a
+                # multiple of 8, so capacity between multiples is
+                # free compute-wise and a capacity just above one is
+                # pure padded waste.  Round to a multiple of 8:
+                # down when that still leaves >= 15% headroom over
+                # the measured max (the overflow grow+redo path
+                # absorbs rare spills), else up.
+                m4 = max(4, int(-(-int(occ * capacity_slack) // 4)
+                                * 4))
+                if m4 % 8:
+                    down = (m4 // 8) * 8
+                    if down >= 8 and down >= occ * 1.15:
+                        m4 = down
+                    else:
+                        m4 = -(-m4 // 8) * 8
+                capacities[name] = m4
                 # moderate slack: geometry spreads over time, but an
                 # overflow just doubles the cap and re-jits (amortized
                 # over production-length runs)

@@ -1091,6 +1091,21 @@ def _block_activity(layout, M, nx, ny, nz, n_zt, tz):
     return jnp.any(g.reshape(nx, ny, n_zt, tz), axis=3).reshape(-1)
 
 
+def _store_active_ids(store, M, A_max, nx, ny, nz, n_zt, tz):
+    """Activity + id lists for one store, cached on the store so a
+    store serving several roles in one eval (fluid as dest and as the
+    source of other dests) computes them once."""
+    B = nx * ny * n_zt
+    key = (getattr(store, '_version', 0), M, A_max, nx, ny, n_zt, tz)
+    cached = getattr(store, '_ids_cache', None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    act = _block_activity(store.layout, M, nx, ny, nz, n_zt, tz)
+    out = _active_ids(act, A_max, B)
+    store._ids_cache = (key, out)
+    return out
+
+
 def _compact_rows(layout, M, cell_idx, zok):
     """Particle index per compacted slot: (A, tz, M) int32, -1 empty."""
     C = layout.slot_to_particle.shape[0] // M
@@ -1148,8 +1163,16 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             for a_ in _method_args(eq.loop):
                 if a_ in _SYM_DEPS:
                     dep_props.update(_SYM_DEPS[a_])
-    d_props = sorted((rec.d_read | set(rec.out_ops) | dep_props) -
-                     dest_consts)
+    d_prop_set = (rec.d_read | set(rec.out_ops) | dep_props) - \
+        dest_consts
+    # self-source phases (src is dest) read their base planes straight
+    # from the dest pack: fold their props in so every plane exists
+    for (src_store_, _eqs_), (s_read_, _sc_) in zip(plan.phases,
+                                                    rec.sources):
+        if src_store_ is dest_store:
+            d_prop_set |= (s_read_ | dep_props) - \
+                set(src_store_.schema.consts)
+    d_props = sorted(d_prop_set)
     out_props = list(rec.out_ops)
     fdt = dest_store.flat['x'].dtype
 
@@ -1160,11 +1183,10 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     fview = FlatView(dest_store)
 
     # ---- active dest blocks -----------------------------------------
-    act_d = _block_activity(dest_store.layout, Md, nx, ny, nz, n_zt,
-                            tz)
     frac = spec.block_frac_for(dest_store.schema.name)
     A_max = min(B, int(np.ceil(frac * B)) + 8) if frac < 1.0 else B
-    ids, _inv_d_unused, na, block_ovf = _active_ids(act_d, A_max, B)
+    ids, inv_d, na, block_ovf = _store_active_ids(
+        dest_store, Md, A_max, nx, ny, nz, n_zt, tz)
     bi = ids // (ny * n_zt)
     bj = (ids // n_zt) % ny
     bz = ids % n_zt
@@ -1211,6 +1233,28 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         ins.append(c)
         in_specs.append(pl.BlockSpec(c.shape, const_map))
 
+    def smap(a, bi_, bj_, bz_, na_, *invs, ox=0, oy=0, si=0):
+        i2 = bi_[a] + ox
+        j2 = bj_[a] + oy
+        if kper[0]:
+            i2 = jax.lax.rem(i2 + jnp.int32(nx), jnp.int32(nx))
+            iok = True
+        else:
+            iok = (i2 >= 0) & (i2 <= nx - 1)
+        if kper[1]:
+            j2 = jax.lax.rem(j2 + jnp.int32(ny), jnp.int32(ny))
+            jok = True
+        else:
+            jok = (j2 >= 0) & (j2 <= ny - 1)
+        flat = (jnp.clip(i2, 0, nx - 1) * ny +
+                jnp.clip(j2, 0, ny - 1)) * n_zt + bz_[a]
+        e = invs[si][flat]
+        if iok is not True:
+            e = jnp.where(iok, e, 0)
+        if jok is not True:
+            e = jnp.where(jok, e, 0)
+        return (e, 0, 0, 0)
+
     # ---- sources -----------------------------------------------------
     inv_srcs = []
     src_metas = []
@@ -1218,15 +1262,44 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     for si, ((src_store, eqs), Ms, (s_read, s_consts)) in enumerate(
             zip(plan.phases, Mss, rec.sources)):
         src_consts = set(src_store.schema.consts)
-        s_props = tuple(sorted((s_read | dep_props) - src_consts))
+        needed = (s_read | dep_props) - src_consts
         s_const_list = sorted(s_consts)
         sname = src_store.schema.name
-        act_s = _block_activity(src_store.layout, Ms, nx, ny, nz,
-                                n_zt, tz)
+        cache_key = (Ms, tz, nx, ny, n_zt, str(fdt))
+        cached = getattr(src_store, '_spack_cache', None)
+        version = getattr(src_store, '_version', 0)
+        if (cached is not None and cached[0] == version and
+                cached[1] == cache_key and
+                set(cached[2]) >= needed):
+            # same source already packed this eval (e.g. the fluid
+            # array feeding several dest arrays of one group) — reuse
+            # wholesale; the kernel indexes the superset plane list
+            _v, _k, s_props, inv_s, s_pack, s_ovf = cached
+            block_ovf = block_ovf | s_ovf
+            inv_srcs.append(inv_s)
+            Pp = 1 + len(s_props)
+            src_metas.append((s_props, tuple(s_const_list)))
+            eqs_list.append(eqs)
+            spec_blk = (1, Pp, tz, 3 * Ms)
+            for oy in oys:
+                for ox in oxs:
+                    ins.append(s_pack)
+                    in_specs.append(pl.BlockSpec(
+                        spec_blk,
+                        functools.partial(smap, ox=ox, oy=oy,
+                                          si=len(inv_srcs) - 1)))
+            for p in s_const_list:
+                c = jnp.asarray(src_store[p]).reshape(1, -1)
+                ins.append(c)
+                in_specs.append(pl.BlockSpec(c.shape, const_map))
+            continue
+
+        s_props = tuple(sorted(needed))
         sfrac = spec.block_frac_for(sname)
         A_s = min(B, int(np.ceil(sfrac * B)) + 8) if sfrac < 1.0 \
             else B
-        s_ids, inv_s, _ns, s_ovf = _active_ids(act_s, A_s, B)
+        s_ids, inv_s, _ns, s_ovf = _store_active_ids(
+            src_store, Ms, A_s, nx, ny, nz, n_zt, tz)
         block_ovf = block_ovf | s_ovf
         inv_srcs.append(inv_s)
 
@@ -1235,13 +1308,22 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         sbz = s_ids % n_zt
         szcell = sbz[:, None] * tz + ar_tz[None, :]
         szok = szcell < nz
-        scell = ((sbi * ny + sbj)[:, None] * nz +
-                 jnp.minimum(szcell, nz - 1))
-        p_idx_s = _compact_rows(src_store.layout, Ms, scell, szok)
-        sfv = FlatView(src_store)
-        base = _gather_pack(
-            [jnp.asarray(sfv[p], fdt) for p in s_props], p_idx_s,
-            [(p_idx_s >= 0).astype(fdt)])      # (A_s, 1+Ps, tz, Ms)
+        if src_store is dest_store and A_s == A_max:
+            # the dest pack already holds every plane (pre-scan above)
+            # in the same block order: slice instead of re-gathering
+            base = jnp.concatenate(
+                [d_pack[:, 1:2]] +
+                [d_pack[:, 2 + d_props.index(p):
+                        3 + d_props.index(p)] for p in s_props],
+                axis=1)                        # (A_s, 1+Ps, tz, Ms)
+        else:
+            scell = ((sbi * ny + sbj)[:, None] * nz +
+                     jnp.minimum(szcell, nz - 1))
+            p_idx_s = _compact_rows(src_store.layout, Ms, scell, szok)
+            sfv = FlatView(src_store)
+            base = _gather_pack(
+                [jnp.asarray(sfv[p], fdt) for p in s_props], p_idx_s,
+                [(p_idx_s >= 0).astype(fdt)])  # (A_s, 1+Ps, tz, Ms)
 
         # z lane-concat with sentinel rows: entry 0 of the final pack
         # is the reserved all-zero block; entries 1..A_s map active
@@ -1272,28 +1354,8 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         s_pack = jnp.concatenate(
             [jnp.zeros((1,) + s_pack.shape[1:], s_pack.dtype),
              s_pack], axis=0)                  # reserved entry 0
-
-        def smap(a, bi_, bj_, bz_, na_, *invs, ox=0, oy=0, si=si):
-            i2 = bi_[a] + ox
-            j2 = bj_[a] + oy
-            if kper[0]:
-                i2 = jax.lax.rem(i2 + jnp.int32(nx), jnp.int32(nx))
-                iok = True
-            else:
-                iok = (i2 >= 0) & (i2 <= nx - 1)
-            if kper[1]:
-                j2 = jax.lax.rem(j2 + jnp.int32(ny), jnp.int32(ny))
-                jok = True
-            else:
-                jok = (j2 >= 0) & (j2 <= ny - 1)
-            flat = (jnp.clip(i2, 0, nx - 1) * ny +
-                    jnp.clip(j2, 0, ny - 1)) * n_zt + bz_[a]
-            e = invs[si][flat]
-            if iok is not True:
-                e = jnp.where(iok, e, 0)
-            if jok is not True:
-                e = jnp.where(jok, e, 0)
-            return (e, 0, 0, 0)
+        src_store._spack_cache = (version, cache_key, s_props, inv_s,
+                                  s_pack, s_ovf)
 
         spec_blk = (1, Pp, tz, 3 * Ms)
         for oy in oys:
@@ -1301,7 +1363,8 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
                 ins.append(s_pack)
                 in_specs.append(pl.BlockSpec(
                     spec_blk,
-                    functools.partial(smap, ox=ox, oy=oy)))
+                    functools.partial(smap, ox=ox, oy=oy,
+                                      si=len(inv_srcs) - 1)))
         for p in s_const_list:
             c = jnp.asarray(src_store[p]).reshape(1, -1)
             ins.append(c)
@@ -1333,7 +1396,6 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     # ---- fold outputs straight back to flat particle order ----------
     # every active particle's block is dest-active by construction, so
     # its compacted slot exists (unless block_ovf -> step is redone).
-    _ids2, inv_d, _na2, _ovf2 = _active_ids(act_d, A_max, B)
     lay = dest_store.layout
     cap = dest_store.flat['x'].shape[0]
     n_slots = C * Md

@@ -103,6 +103,10 @@ class SlotStore(object):
         self._consts = set(schema.consts) | {'n_act'}
         self.cache = {}
         self.dirty = set()
+        # bumped on every write; invalidates the compact source-pack
+        # cache (ops/pallas_engine.py) keyed on it
+        self._version = 0
+        self._spack_cache = None
         # props the pair phases will need in slot layout (everything
         # else runs flat via FlatView); None = no hint, batch all
         self.slot_hint = slot_hint
@@ -140,6 +144,7 @@ class SlotStore(object):
         else:
             self.cache[key] = value
             self.dirty.add(key)
+            self._version += 1
 
     def finalize(self):
         """Fold dirty slot arrays back; returns the flat state dict."""
@@ -203,6 +208,7 @@ class FlatView(object):
             # the slot-space copy (if any) is stale now
             s.cache.pop(key, None)
             s.dirty.discard(key)
+            s._version += 1
 
 
 class GridHandle(object):
