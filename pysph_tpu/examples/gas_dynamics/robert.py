@@ -1,35 +1,33 @@
-"""1D wall-shock: two cold streams colliding head-on at Mach ~1000
-(parity case for
-/root/reference/pysph/examples/gas_dynamics/wallshock.py)."""
+"""Robert's shock-tube problem: a slowly-moving shock that excites
+post-shock oscillations in many schemes (parity case for
+/root/reference/pysph/examples/gas_dynamics/robert.py)."""
 
-from pysph_tpu.examples.shocktube_setup import ShockTubeSetup
+from pysph_tpu.examples.gas_dynamics.shocktube_setup import ShockTubeSetup
 from pysph_tpu.sph.gas_dynamics.magma2 import MAGMA2Scheme
-from pysph_tpu.sph.gas_dynamics.psph import PSPHScheme
-from pysph_tpu.sph.gas_dynamics.tsph import TSPHScheme
 from pysph_tpu.sph.scheme import (ADKEScheme, GasDScheme, GSPHScheme,
                                   SchemeChooser)
 
 dim = 1
 gamma = 1.4
 gamma1 = gamma - 1.0
-dt = 1e-6
-tf = 0.4
+dt = 1e-4
+tf = 0.1
 
 
-class WallShock(ShockTubeSetup):
+class Robert(ShockTubeSetup):
     def initialize(self):
         self.xmin = -0.5
         self.xmax = 0.5
         self.x0 = 0.0
-        self.rhol, self.rhor = 1.0, 1.0
-        self.pl, self.pr = 4e-7, 4e-7
-        self.ul, self.ur = 1.0, -1.0
+        self.rhol, self.rhor = 3.86, 1.0
+        self.pl, self.pr = 10.33, 1.0
+        self.ul, self.ur = -0.39, -3.02
 
     def add_user_options(self, group):
         group.add_argument('--hdx', action='store', type=float,
-                           dest='hdx', default=1.5)
+                           dest='hdx', default=2.0)
         group.add_argument('--nl', action='store', type=float,
-                           dest='nl', default=500)
+                           dest='nl', default=354)
 
     def consume_user_options(self):
         self.nl = self.options.nl
@@ -42,7 +40,7 @@ class WallShock(ShockTubeSetup):
         return self.generate_particles(
             xmin=self.xmin, xmax=self.xmax, x0=self.x0,
             rhol=self.rhol, rhor=self.rhor, pl=self.pl, pr=self.pr,
-            bx=0.02, gamma1=gamma1, ul=self.ul, ur=self.ur,
+            bx=0.03, gamma1=gamma1, ul=self.ul, ur=self.ur,
             dxl=self.dxl, dxr=self.dxr, h0=self.h0)
 
     def create_scheme(self):
@@ -62,16 +60,11 @@ class WallShock(ShockTubeSetup):
             rsolver=2, interpolation=1, monotonicity=1,
             interface_zero=True, hybrid=False, blend_alpha=2.0,
             niter=20, tol=1e-6)
-        psph = PSPHScheme(fluids=['fluid'], solids=['boundary'],
-                          dim=dim, gamma=gamma, hfact=1.2)
-        tsph = TSPHScheme(fluids=['fluid'], solids=['boundary'],
-                          dim=dim, gamma=gamma, hfact=1.2)
         magma2 = MAGMA2Scheme(fluids=['fluid'], solids=['boundary'],
                               dim=dim, gamma=gamma, ndes=7,
                               recycle_accelerations=False)
         return SchemeChooser(default='adke', adke=adke, mpm=mpm,
-                             gsph=gsph, psph=psph, tsph=tsph,
-                             magma2=magma2)
+                             gsph=gsph, magma2=magma2)
 
     def configure_scheme(self):
         self.scheme.configure_solver(dt=dt, tf=tf,
@@ -80,6 +73,6 @@ class WallShock(ShockTubeSetup):
 
 
 if __name__ == '__main__':
-    app = WallShock()
+    app = Robert()
     app.run()
     app.post_process(app.info_filename)

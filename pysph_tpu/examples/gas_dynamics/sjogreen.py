@@ -1,44 +1,37 @@
-"""1D blast wave: a 10^5 pressure ratio across the diaphragm (parity
-case for /root/reference/pysph/examples/gas_dynamics/blastwave.py,
-~30 s serial CPU there)."""
+"""Sjogreen vacuum test: two streams receding from the diaphragm
+(parity case for
+/root/reference/pysph/examples/gas_dynamics/sjogreen.py)."""
 
-from pysph_tpu.sph.scheme import add_bool_argument
-from pysph_tpu.examples.shocktube_setup import ShockTubeSetup
+from pysph_tpu.examples.gas_dynamics.shocktube_setup import ShockTubeSetup
 from pysph_tpu.sph.gas_dynamics.magma2 import MAGMA2Scheme
-from pysph_tpu.sph.gas_dynamics.psph import PSPHScheme
-from pysph_tpu.sph.gas_dynamics.tsph import TSPHScheme
 from pysph_tpu.sph.scheme import (ADKEScheme, GasDScheme, GSPHScheme,
                                   SchemeChooser)
 
 dim = 1
 gamma = 1.4
 gamma1 = gamma - 1.0
-dt = 1e-6
-tf = 0.0075
+dt = 1e-4
+tf = 0.1
 
 
-class Blastwave(ShockTubeSetup):
+class SjoGreen(ShockTubeSetup):
     def initialize(self):
         self.xmin = -0.5
         self.xmax = 0.5
         self.x0 = 0.0
         self.rhol, self.rhor = 1.0, 1.0
-        self.pl, self.pr = 1000.0, 0.01
-        self.ul, self.ur = 0.0, 0.0
+        self.pl, self.pr = 0.4, 0.4
+        self.ul, self.ur = -2.0, 2.0
 
     def add_user_options(self, group):
         group.add_argument('--hdx', action='store', type=float,
                            dest='hdx', default=1.5)
         group.add_argument('--nl', action='store', type=float,
-                           dest='nl', default=200)
-        add_bool_argument(group, 'smooth-ic', dest='smooth_ic',
-                          default=False,
-                          help='Smooth the initial condition.')
+                           dest='nl', default=100)
 
     def consume_user_options(self):
         self.nl = self.options.nl
         self.hdx = self.options.hdx
-        self.smooth_ic = self.options.smooth_ic
         self.dxl = (self.x0 - self.xmin) / self.nl
         self.dxr = self.dxl / (self.rhor / self.rhol)
         self.h0 = self.hdx * self.dxr
@@ -55,23 +48,23 @@ class Blastwave(ShockTubeSetup):
         self.tf = tf
         adke = ADKEScheme(
             fluids=['fluid'], solids=['boundary'], dim=dim,
-            gamma=gamma, alpha=1, beta=1, k=1.0, eps=0.5, g1=0.2,
+            gamma=gamma, alpha=1, beta=2.0, k=1.0, eps=0.5, g1=0.2,
             g2=0.4)
+        mpm = GasDScheme(
+            fluids=['fluid'], solids=['boundary'], dim=dim,
+            gamma=gamma, kernel_factor=1.2, alpha1=1.0, alpha2=0.1,
+            beta=2.0, update_alpha1=True, update_alpha2=True)
         gsph = GSPHScheme(
             fluids=['fluid'], solids=['boundary'], dim=dim,
             gamma=gamma, kernel_factor=1.0, g1=0.2, g2=0.4,
             rsolver=2, interpolation=1, monotonicity=1,
             interface_zero=True, hybrid=False, blend_alpha=2.0,
             niter=20, tol=1e-6)
-        psph = PSPHScheme(fluids=['fluid'], solids=['boundary'],
-                          dim=dim, gamma=gamma, hfact=1.2)
-        tsph = TSPHScheme(fluids=['fluid'], solids=['boundary'],
-                          dim=dim, gamma=gamma, hfact=1.2)
         magma2 = MAGMA2Scheme(fluids=['fluid'], solids=['boundary'],
                               dim=dim, gamma=gamma, ndes=7,
                               recycle_accelerations=False)
-        return SchemeChooser(default='adke', adke=adke, gsph=gsph,
-                             psph=psph, tsph=tsph, magma2=magma2)
+        return SchemeChooser(default='adke', adke=adke, mpm=mpm,
+                             gsph=gsph, magma2=magma2)
 
     def configure_scheme(self):
         self.scheme.configure_solver(dt=dt, tf=tf,
@@ -80,6 +73,6 @@ class Blastwave(ShockTubeSetup):
 
 
 if __name__ == '__main__':
-    app = Blastwave()
+    app = SjoGreen()
     app.run()
     app.post_process(app.info_filename)

@@ -1,33 +1,35 @@
-"""Sjogreen vacuum test: two streams receding from the diaphragm
+"""1D wall-shock: two cold streams colliding head-on at Mach ~1000
 (parity case for
-/root/reference/pysph/examples/gas_dynamics/sjogreen.py)."""
+/root/reference/pysph/examples/gas_dynamics/wallshock.py)."""
 
-from pysph_tpu.examples.shocktube_setup import ShockTubeSetup
+from pysph_tpu.examples.gas_dynamics.shocktube_setup import ShockTubeSetup
 from pysph_tpu.sph.gas_dynamics.magma2 import MAGMA2Scheme
+from pysph_tpu.sph.gas_dynamics.psph import PSPHScheme
+from pysph_tpu.sph.gas_dynamics.tsph import TSPHScheme
 from pysph_tpu.sph.scheme import (ADKEScheme, GasDScheme, GSPHScheme,
                                   SchemeChooser)
 
 dim = 1
 gamma = 1.4
 gamma1 = gamma - 1.0
-dt = 1e-4
-tf = 0.1
+dt = 1e-6
+tf = 0.4
 
 
-class SjoGreen(ShockTubeSetup):
+class WallShock(ShockTubeSetup):
     def initialize(self):
         self.xmin = -0.5
         self.xmax = 0.5
         self.x0 = 0.0
         self.rhol, self.rhor = 1.0, 1.0
-        self.pl, self.pr = 0.4, 0.4
-        self.ul, self.ur = -2.0, 2.0
+        self.pl, self.pr = 4e-7, 4e-7
+        self.ul, self.ur = 1.0, -1.0
 
     def add_user_options(self, group):
         group.add_argument('--hdx', action='store', type=float,
                            dest='hdx', default=1.5)
         group.add_argument('--nl', action='store', type=float,
-                           dest='nl', default=100)
+                           dest='nl', default=500)
 
     def consume_user_options(self):
         self.nl = self.options.nl
@@ -40,7 +42,7 @@ class SjoGreen(ShockTubeSetup):
         return self.generate_particles(
             xmin=self.xmin, xmax=self.xmax, x0=self.x0,
             rhol=self.rhol, rhor=self.rhor, pl=self.pl, pr=self.pr,
-            bx=0.03, gamma1=gamma1, ul=self.ul, ur=self.ur,
+            bx=0.02, gamma1=gamma1, ul=self.ul, ur=self.ur,
             dxl=self.dxl, dxr=self.dxr, h0=self.h0)
 
     def create_scheme(self):
@@ -48,8 +50,8 @@ class SjoGreen(ShockTubeSetup):
         self.tf = tf
         adke = ADKEScheme(
             fluids=['fluid'], solids=['boundary'], dim=dim,
-            gamma=gamma, alpha=1, beta=2.0, k=1.0, eps=0.5, g1=0.2,
-            g2=0.4)
+            gamma=gamma, alpha=1, beta=1, k=0.7, eps=0.5, g1=0.5,
+            g2=1.0)
         mpm = GasDScheme(
             fluids=['fluid'], solids=['boundary'], dim=dim,
             gamma=gamma, kernel_factor=1.2, alpha1=1.0, alpha2=0.1,
@@ -60,11 +62,16 @@ class SjoGreen(ShockTubeSetup):
             rsolver=2, interpolation=1, monotonicity=1,
             interface_zero=True, hybrid=False, blend_alpha=2.0,
             niter=20, tol=1e-6)
+        psph = PSPHScheme(fluids=['fluid'], solids=['boundary'],
+                          dim=dim, gamma=gamma, hfact=1.2)
+        tsph = TSPHScheme(fluids=['fluid'], solids=['boundary'],
+                          dim=dim, gamma=gamma, hfact=1.2)
         magma2 = MAGMA2Scheme(fluids=['fluid'], solids=['boundary'],
                               dim=dim, gamma=gamma, ndes=7,
                               recycle_accelerations=False)
         return SchemeChooser(default='adke', adke=adke, mpm=mpm,
-                             gsph=gsph, magma2=magma2)
+                             gsph=gsph, psph=psph, tsph=tsph,
+                             magma2=magma2)
 
     def configure_scheme(self):
         self.scheme.configure_solver(dt=dt, tf=tf,
@@ -73,6 +80,6 @@ class SjoGreen(ShockTubeSetup):
 
 
 if __name__ == '__main__':
-    app = SjoGreen()
+    app = WallShock()
     app.run()
     app.post_process(app.info_filename)

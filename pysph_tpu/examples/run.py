@@ -41,9 +41,8 @@ def example_info(module, filename):
 
 def get_all_examples():
     examples = []
-    ignore = [os.path.abspath(os.path.join(HERE, f))
-              for f in ('run.py', 'db_geometry.py',
-                        'shocktube_setup.py')]
+    ignore = ('run.py', 'db_geometry.py', 'shocktube_setup.py',
+              'riemann_2d_config.py', 'beach_geometry.py')
     for dirpath, dirs, files in os.walk(HERE):
         rel_dir = os.path.relpath(dirpath, HERE)
         if rel_dir == '.':
@@ -51,9 +50,9 @@ def get_all_examples():
         for f in sorted(files):
             if not f.endswith('.py') or f.startswith('_'):
                 continue
-            path = os.path.join(rel_dir, f)
-            if os.path.abspath(os.path.join(HERE, path)) in ignore:
+            if f in ignore:
                 continue
+            path = os.path.join(rel_dir, f)
             examples.append((_get_module(path),
                              _extract_short_doc(dirpath, f)))
     return examples

@@ -1114,34 +1114,43 @@ def _compact_rows(layout, M, cell_idx, zok):
     return jnp.where(zok[:, :, None], p_idx, -1)
 
 
-def _gather_pack(flat_cols, p_idx, lead_planes):
-    """Build a block-major pack from flat particle columns.
+def _rows_matrix(flat_cols, p_idx):
+    """Plane-major rows matrix for pack building.
 
     ``flat_cols``: list of (cap,) arrays (the plane order);
-    ``p_idx``: (A, tz, M) particle index per compacted slot;
-    ``lead_planes``: list of ready-made (A, tz, M) planes to prepend
-    (e.g. the slot mask).
+    ``p_idx``: (A, tz, M) particle index per compacted slot, -1 empty.
 
-    Three proven-fast passes: one (rows x P) gather from the flat
-    matrix, one barrier-forced linearized transpose, one row gather
-    into block-major plane order (see PERF_NOTES.md on XLA:TPU gather
-    and transpose behavior)."""
+    Returns ``(P*A*tz + 1, M)``: row ``(p*A + a)*tz + r`` holds plane
+    ``p`` of block ``a``'s z-row ``r``; empty slots hold 0 in every
+    plane (sentinel-row gather — pass a ones column to obtain the
+    slot mask as a plane); the appended final row is all-zero so
+    callers can route invalid row lookups to it.
+
+    Two proven-fast passes: one (rows x P) gather from the flat
+    matrix and one barrier-forced linearized transpose (see
+    PERF_NOTES.md on XLA:TPU gather and transpose behavior); callers
+    finish with a single row gather into their pack layout."""
     A, tz, M = p_idx.shape
     P = len(flat_cols)
+    cap = flat_cols[0].shape[0]
     F = jnp.stack(flat_cols, axis=1)           # (cap, P)
-    idx = jnp.maximum(p_idx.reshape(-1), 0)
+    F = jnp.concatenate([F, jnp.zeros((1, P), F.dtype)])
+    idx = jnp.where(p_idx >= 0, p_idx, cap).reshape(-1)
     G = F[idx]                                 # (A*tz*M, P) row gather
     Gt = jax.lax.optimization_barrier(G.T.reshape(-1))
-    # view (P, A, tz, M) -> rows of M; re-gather into (A, P, tz, M)
     rows = Gt.reshape(P * A * tz, M)
+    return jnp.concatenate([rows, jnp.zeros((1, M), rows.dtype)])
+
+
+def _pack_from_rows(rows, planes, A, tz, M):
+    """(A, len(planes), tz, M) pack: plane list indexes the rows
+    matrix's plane axis."""
     ar_a = jnp.arange(A, dtype=jnp.int32)
-    ar_p = jnp.arange(P, dtype=jnp.int32)
+    ar_p = jnp.asarray(planes, dtype=jnp.int32)
     ar_r = jnp.arange(tz, dtype=jnp.int32)
     ridx = ((ar_p[None, :, None] * A + ar_a[:, None, None]) * tz +
             ar_r[None, None, :])               # (A, P, tz)
-    pack = rows[ridx.reshape(-1)].reshape(A, P, tz, M)
-    planes = [pl_[:, None] for pl_ in lead_planes]
-    return jnp.concatenate(planes + [pack], axis=1)
+    return rows[ridx.reshape(-1)].reshape(A, len(planes), tz, M)
 
 
 def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
@@ -1200,17 +1209,16 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
                 jnp.minimum(zcell, nz - 1))              # (A, tz)
 
     p_idx_d = _compact_rows(dest_store.layout, Md, cell_idx, zok)
-    dmask = (p_idx_d >= 0)
     wm_flat = jnp.where(write_mask_flat, 1.0, 0.0).astype(fdt)
-    d_pack = _gather_pack(
-        [wm_flat] + [jnp.asarray(fview[p], fdt) for p in d_props],
-        p_idx_d, [])
-    # insert the slot-mask plane after the write-mask plane
-    d_pack = jnp.concatenate(
-        [d_pack[:, :1], dmask.astype(fdt)[:, None], d_pack[:, 1:]],
-        axis=1)
-    # write mask only meaningful on real slots
-    d_pack = d_pack.at[:, 0].multiply(dmask.astype(fdt))
+    ones_d = jnp.ones_like(wm_flat)
+    # plane order: write mask, slot mask (a gathered ones column:
+    # empty slots read the sentinel zero row), then props
+    rows_d = _rows_matrix(
+        [wm_flat, ones_d] + [jnp.asarray(fview[p], fdt)
+                             for p in d_props], p_idx_d)
+    A_d = p_idx_d.shape[0]
+    d_pack = _pack_from_rows(rows_d, range(2 + len(d_props)), A_d,
+                             tz, Md)
 
     d_const_list = sorted(rec.d_consts)
     const_map = lambda a, *refs: (0, 0)  # noqa: E731
@@ -1308,29 +1316,11 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         sbz = s_ids % n_zt
         szcell = sbz[:, None] * tz + ar_tz[None, :]
         szok = szcell < nz
-        if src_store is dest_store and A_s == A_max:
-            # the dest pack already holds every plane (pre-scan above)
-            # in the same block order: slice instead of re-gathering
-            base = jnp.concatenate(
-                [d_pack[:, 1:2]] +
-                [d_pack[:, 2 + d_props.index(p):
-                        3 + d_props.index(p)] for p in s_props],
-                axis=1)                        # (A_s, 1+Ps, tz, Ms)
-        else:
-            scell = ((sbi * ny + sbj)[:, None] * nz +
-                     jnp.minimum(szcell, nz - 1))
-            p_idx_s = _compact_rows(src_store.layout, Ms, scell, szok)
-            sfv = FlatView(src_store)
-            base = _gather_pack(
-                [jnp.asarray(sfv[p], fdt) for p in s_props], p_idx_s,
-                [(p_idx_s >= 0).astype(fdt)])  # (A_s, 1+Ps, tz, Ms)
-
-        # z lane-concat with sentinel rows: entry 0 of the final pack
-        # is the reserved all-zero block; entries 1..A_s map active
-        # source blocks.  For target row (b, r, oz): locate the block
-        # holding z-cell zt*tz + r + oz via inv_s.
-        Pp = 1 + len(s_props)
-        rowsM = base.reshape(A_s * Pp * tz, Ms)
+        # z lane-concat straight from a plane-major rows matrix:
+        # entry 0 of the final pack is the reserved all-zero block;
+        # entries 1..A_s map active source blocks.  For target row
+        # (b, r, oz): locate the block holding z-cell zt*tz + r + oz
+        # via inv_s; invalid lookups route to the sentinel zero row.
         z3 = szcell[:, :, None] + jnp.asarray([-1, 0, 1])  # (A_s,tz,3)
         if kper[2]:
             z3 = jnp.mod(z3, nz)
@@ -1342,14 +1332,31 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         nb_flat = ((sbi * ny + sbj)[:, None, None] * n_zt + zt2)
         a2 = inv_s[nb_flat]                    # (A_s, tz, 3); 0=empty
         vmask = z_in & (a2 > 0)
-        # base is block-major (A_s, Pp, tz, Ms): row of (block a2-1,
-        # plane p, z-row r2) is ((a2-1)*Pp + p)*tz + r2
-        ar_p = jnp.arange(Pp, dtype=jnp.int32)
-        ridx = ((jnp.maximum(a2 - 1, 0)[:, None] * Pp +
-                 ar_p[None, :, None, None]) * tz +
-                r2[:, None])                   # (A_s, Pp, tz, 3)
-        got = rowsM[ridx.reshape(-1)].reshape(A_s, Pp, tz, 3, Ms)
-        got = jnp.where(vmask[:, None, :, :, None], got, 0)
+
+        if src_store is dest_store and A_s == A_max:
+            # the dest rows matrix already holds every plane (fold-in
+            # above) in the same block order: gather from it directly
+            rows_s = rows_d
+            A_rows = A_max
+            pl_list = [1] + [2 + d_props.index(p) for p in s_props]
+        else:
+            scell = ((sbi * ny + sbj)[:, None] * nz +
+                     jnp.minimum(szcell, nz - 1))
+            p_idx_s = _compact_rows(src_store.layout, Ms, scell, szok)
+            sfv = FlatView(src_store)
+            rows_s = _rows_matrix(
+                [jnp.ones((src_store.flat['x'].shape[0],), fdt)] +
+                [jnp.asarray(sfv[p], fdt) for p in s_props], p_idx_s)
+            A_rows = A_s
+            pl_list = list(range(1 + len(s_props)))
+
+        Pp = 1 + len(s_props)
+        sent = rows_s.shape[0] - 1
+        ar_p = jnp.asarray(pl_list, dtype=jnp.int32)
+        ridx = ((ar_p[None, :, None, None] * A_rows +
+                 jnp.maximum(a2 - 1, 0)[:, None]) * tz + r2[:, None])
+        ridx = jnp.where(vmask[:, None], ridx, sent)
+        got = rows_s[ridx.reshape(-1)].reshape(A_s, Pp, tz, 3, Ms)
         s_pack = got.reshape(A_s, Pp, tz, 3 * Ms)
         s_pack = jnp.concatenate(
             [jnp.zeros((1,) + s_pack.shape[1:], s_pack.dtype),

@@ -18,16 +18,16 @@ EXAMPLES = [
      ['--dx', '0.08', '--scheme', 'edac']),
     ('pysph_tpu.examples.dam_break_2d', 'DamBreak2D',
      ['--dx', '0.08', '--scheme', 'iisph']),
-    ('pysph_tpu.examples.shocktube', 'ShockTube',
+    ('pysph_tpu.examples.gas_dynamics.shocktube', 'ShockTube',
      ['--nl', '100', '--scheme', 'mpm']),
-    ('pysph_tpu.examples.shocktube', 'ShockTube',
+    ('pysph_tpu.examples.gas_dynamics.shocktube', 'ShockTube',
      ['--nl', '100', '--scheme', 'adke']),
     ('pysph_tpu.examples.cavity', 'LidDrivenCavity', ['--nx', '12']),
     ('pysph_tpu.examples.couette', 'CouetteFlow', []),
     ('pysph_tpu.examples.hydrostatic_tank', 'HydrostaticTank', []),
-    ('pysph_tpu.examples.cylindrical_dambreak', 'CylindricalDamBreak',
+    ('pysph_tpu.examples.shallow_water.cylindrical_dambreak', 'CylindricalDamBreak',
      ['--n', '12']),
-    ('pysph_tpu.examples.sedov', 'SedovPointExplosion',
+    ('pysph_tpu.examples.gas_dynamics.sedov', 'SedovPointExplosion',
      ['--nx', '31']),
     ('pysph_tpu.examples.rayleigh_taylor', 'RayleighTaylor', []),
     ('pysph_tpu.examples.two_blocks', 'TwoBlocks', []),
@@ -37,12 +37,12 @@ EXAMPLES = [
      []),
     ('pysph_tpu.examples.sloshing_tank_horizontal', 'SloshingTank',
      ['--dx', '0.02']),
-    ('pysph_tpu.examples.oscillating_plate', 'OscillatingPlate', []),
-    ('pysph_tpu.examples.square_droplet', 'SquareDroplet', []),
-    ('pysph_tpu.examples.noh', 'NohImplosion', ['--nx', '24']),
-    ('pysph_tpu.examples.acoustic_wave', 'AcousticWave',
+    ('pysph_tpu.examples.solid_mech.oscillating_plate', 'OscillatingPlate', []),
+    ('pysph_tpu.examples.surface_tension.square_droplet', 'SquareDroplet', []),
+    ('pysph_tpu.examples.gas_dynamics.noh', 'NohImplosion', ['--nx', '24']),
+    ('pysph_tpu.examples.gas_dynamics.acoustic_wave', 'AcousticWave',
      ['--nparticles', '64']),
-    ('pysph_tpu.examples.rectangular_dambreak', 'RectangularDamBreak',
+    ('pysph_tpu.examples.shallow_water.rectangular_dambreak', 'RectangularDamBreak',
      ['--dx', '0.1']),
     ('pysph_tpu.examples.flow_past_cylinder_2d', 'WindTunnel',
      ['--nx', '6', '--lt', '10', '--wt', '6']),
@@ -52,28 +52,28 @@ EXAMPLES = [
     ('pysph_tpu.examples.flow_past_cylinder_2d', 'WindTunnel',
      ['--nx', '6', '--lt', '10', '--wt', '6', '--io-method',
       'hybrid']),
-    ('pysph_tpu.examples.blastwave', 'Blastwave', ['--nl', '80']),
-    ('pysph_tpu.examples.wallshock', 'WallShock', ['--nl', '80']),
-    ('pysph_tpu.examples.sjogreen', 'SjoGreen', ['--nl', '80']),
-    ('pysph_tpu.examples.robert', 'Robert', ['--nl', '80']),
-    ('pysph_tpu.examples.cylindrical_dambreak_sloping_bed',
+    ('pysph_tpu.examples.gas_dynamics.blastwave', 'Blastwave', ['--nl', '80']),
+    ('pysph_tpu.examples.gas_dynamics.wallshock', 'WallShock', ['--nl', '80']),
+    ('pysph_tpu.examples.gas_dynamics.sjogreen', 'SjoGreen', ['--nl', '80']),
+    ('pysph_tpu.examples.gas_dynamics.robert', 'Robert', ['--nl', '80']),
+    ('pysph_tpu.examples.shallow_water.cylindrical_dambreak_sloping_bed',
      'CylindricalDamBreakSlopingBed', ['--n', '15']),
-    ('pysph_tpu.examples.rectangular_dambreak_sloping_bed',
+    ('pysph_tpu.examples.shallow_water.rectangular_dambreak_sloping_bed',
      'RectangularDamBreakSlopingBed', ['--dx', '0.1']),
-    ('pysph_tpu.examples.rectangular_dambreak_split',
+    ('pysph_tpu.examples.shallow_water.rectangular_dambreak_particle_split',
      'RectangularDamBreakSplit', ['--dx', '0.1']),
-    ('pysph_tpu.examples.rectangular_dambreak_split_merge',
+    ('pysph_tpu.examples.shallow_water.rectangular_dambreak_particle_split_and_merge',
      'RectangularDamBreakSplitMerge', ['--dx', '0.1']),
-    ('pysph_tpu.examples.moving_square', 'MovingSquare',
+    ('pysph_tpu.examples.spheric.moving_square', 'MovingSquare',
      ['--nx', '12']),
-    ('pysph_tpu.examples.sloshing_tank_pitch', 'SloshingTankPitch',
+    ('pysph_tpu.examples.sloshing.sloshing_tank_pitch', 'SloshingTankPitch',
      ['--dx', '0.06']),
-    ('pysph_tpu.examples.circular_droplet', 'CircularDroplet', []),
-    ('pysph_tpu.examples.kelvin_helmholtz', 'KHInstability',
+    ('pysph_tpu.examples.surface_tension.circular_droplet', 'CircularDroplet', []),
+    ('pysph_tpu.examples.gas_dynamics.kelvin_helmholtz_instability', 'KHInstability',
      ['--nx', '40']),
-    ('pysph_tpu.examples.kelvin_helmholtz', 'KHInstability',
+    ('pysph_tpu.examples.gas_dynamics.kelvin_helmholtz_instability', 'KHInstability',
      ['--nx', '40', '--scheme', 'adke']),
-    ('pysph_tpu.examples.dam_break_3d_rigid', 'DamBreak3DRigid',
+    ('pysph_tpu.examples.rigid_body.dam_break3D_sph', 'DamBreak3DRigid',
      ['--dx', '0.06']),
     ('pysph_tpu.examples.naca_airfoil_2d', 'NACAWindTunnel',
      ['--nx', '6', '--lt', '10', '--wt', '6']),
