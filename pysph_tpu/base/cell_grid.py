@@ -59,7 +59,7 @@ class GridSpec(object):
 
     def __init__(self, dim, radius_scale, dims, cell_capacity,
                  domain=None, cell_slack=1.1, capacities=None,
-                 block_fracs=None):
+                 block_fracs=None, window_caps=None):
         self.dim = int(dim)
         self.radius_scale = float(radius_scale)
         # Cells are slightly larger than the support radius so a binning
@@ -82,6 +82,14 @@ class GridSpec(object):
         # is surfaced as diag['block_overflow'] -> solver grows+re-jits.
         self.block_fracs = {k: float(v)
                             for k, v in (block_fracs or {}).items()}
+        # Per-array union-window capacities for the pallas in-kernel
+        # neighbor compaction (max true candidates of one dest cell's
+        # stencil window after distance pruning, rounded up to a lane
+        # multiple).  None -> geometric default chosen by the engine;
+        # runtime overflow is surfaced as diag['window_overflow'] ->
+        # solver grows+re-jits, mirroring block_fracs.
+        self.window_caps = {k: int(v)
+                           for k, v in (window_caps or {}).items()}
         self.domain = domain
         self.n_cells = dims[0] * dims[1] * dims[2]
         self.n_slots = self.n_cells * self.cell_capacity
@@ -93,6 +101,11 @@ class GridSpec(object):
 
     def block_frac_for(self, name):
         return self.block_fracs.get(name, 1.0)
+
+    def window_cap_for(self, name):
+        """Union-window capacity override for ``name`` (0 = use the
+        engine's geometric default)."""
+        return self.window_caps.get(name, 0)
 
     @property
     def periodic(self):
@@ -237,7 +250,8 @@ class GridSpec(object):
                    domain, cell_slack=cell_slack,
                    capacities=capacities, block_fracs=block_fracs)
 
-    def grow(self, cells=False, extent=False, blocks=False, factor=2):
+    def grow(self, cells=False, extent=False, blocks=False,
+             windows=False, factor=2):
         """Return a larger spec after an overflow."""
         dims = self.dims
         if extent:
@@ -250,9 +264,19 @@ class GridSpec(object):
         fracs = self.block_fracs
         if blocks:
             fracs = {k: min(1.0, v * 2) for k, v in fracs.items()}
+        wcaps = self.window_caps
+        if windows:
+            # the engine recorded its effective capacity per array at
+            # plan time; doubling past the full window makes the
+            # engine disable compaction for that array
+            wcaps = {k: v * 2 for k, v in wcaps.items()}
+        if cells:
+            # window occupancy scales with cell occupancy
+            wcaps = {k: v * factor for k, v in wcaps.items()}
         return GridSpec(self.dim, self.radius_scale, dims, M,
                         self.domain, cell_slack=self.cell_slack,
-                        capacities=caps, block_fracs=fracs)
+                        capacities=caps, block_fracs=fracs,
+                        window_caps=wcaps)
 
     # ------------------------------------------------------------------
     def geometry(self, states):

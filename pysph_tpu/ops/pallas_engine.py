@@ -44,6 +44,7 @@ caller falls back to the XLA path.  Semantics parity notes:
 import functools
 import zlib
 from collections import OrderedDict
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -685,25 +686,27 @@ class _Plan(object):
         self.radius_scale = radius_scale
 
     def execute(self, dest_store, spec, write_mask, t, dt,
-                interpret=None, write_mask_flat=None):
-        """Run the kernel; returns the traced block-overflow flag
-        (True -> more active blocks than the static A_max; the caller
-        surfaces it as diag['block_overflow']).
+                interpret=None, write_mask_flat=None, geometry=None):
+        """Run the kernel; returns a dict of traced overflow flags
+        ('block_overflow': more active blocks than the static A_max;
+        'window_overflow': a union window exceeded its capacity); the
+        caller folds them into the step diag.
 
         ``write_mask`` may be a (n_slots,) array or a zero-arg callable
         producing one (the compact path never needs slot-space masks,
         so the conversion is skipped); ``write_mask_flat`` is the same
-        mask in flat particle space."""
+        mask in flat particle space.  ``geometry`` is the binning's
+        (origin, widths) — needed by the union-compaction AABB test."""
         import os
         compact = os.environ.get('PYSPH_TPU_COMPACT', '1') != '0'
         if compact and write_mask_flat is not None:
             return _execute_plan_compact(self, dest_store, spec,
                                          write_mask_flat, t, dt,
-                                         interpret)
+                                         interpret, geometry)
         if callable(write_mask):
             write_mask = write_mask()
-        return _execute_plan(self, dest_store, spec, write_mask, t,
-                             dt, interpret)
+        return {'block_overflow': _execute_plan(
+            self, dest_store, spec, write_mask, t, dt, interpret)}
 
 
 def plan_pair_phases(phases, dest_store, spec, kernel_obj, domain,
@@ -955,6 +958,75 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
 # ---------------------------------------------------------------------------
 # Compacted execution: packs live only over ACTIVE blocks
 # ---------------------------------------------------------------------------
+class _UnionMeta(NamedTuple):
+    """Static per-kernel union-compaction config: ``Ks`` has one
+    entry per source (window capacity, or None = classic per-offset
+    phases), ``cz`` is the pair-phase row-chunk height (VMEM bound),
+    ``swapped`` marks the 1D/2D kernel-axis swap for the AABB test."""
+    Ks: tuple
+    cz: int
+    swapped: bool
+
+
+def _shift_lanes_left(a, s):
+    """Shift lanes left by static ``s`` (vacated lanes zero-filled).
+    Mosaic lowers static lane slicing/concat to vector shifts."""
+    pad = jnp.zeros(a.shape[:-1] + (s,), a.dtype)
+    return jnp.concatenate([a[..., s:], pad], axis=-1)
+
+
+def _shift_lanes_right(a, s):
+    pad = jnp.zeros(a.shape[:-1] + (s,), a.dtype)
+    return jnp.concatenate([pad, a[..., :-s]], axis=-1)
+
+
+def _lane_cumsum(x):
+    """Inclusive prefix sum along lanes (Hillis-Steele over static
+    shifts; Mosaic has no cumsum primitive)."""
+    n = x.shape[-1]
+    s = 1
+    while s < n:
+        x = x + _shift_lanes_right(x, s)
+        s *= 2
+    return x
+
+
+def _left_pack(flag, planes, K):
+    """Pack flagged lanes to the front of each row, truncated to K.
+
+    ``flag``: (R, C) int32 0/1; ``planes``: list of (R, C) float
+    arrays packed with one shared shift schedule (split-radix: move
+    every element left by its distance-to-rank, one bit per step —
+    monotone distances never collide).  Unflagged/overflow lanes are
+    zero.  Returns (packed planes (R, K), count (R, 1) int32).
+
+    All masks stay int32: Mosaic cannot bitcast i1 vregs for the
+    shifted-concat moves."""
+    C = flag.shape[-1]
+    rank = _lane_cumsum(flag)
+    count = rank[:, C - 1:C]
+    pos = jax.lax.broadcasted_iota(jnp.int32, flag.shape, 1)
+    dist = flag * (pos - (rank - 1))
+    ff = flag.astype(planes[0].dtype)
+    vals = [ff * p for p in planes]
+    alive = flag
+    step = 1
+    while step < C:
+        bit = jax.lax.rem(dist // step, jnp.int32(2))
+        moved = alive * bit
+        recv = _shift_lanes_left(moved, step)
+        stay = alive * (1 - bit)
+        rf = recv.astype(vals[0].dtype)
+        sf = stay.astype(vals[0].dtype)
+        vals = [rf * _shift_lanes_left(v, step) + sf * v
+                for v in vals]
+        dist = recv * (_shift_lanes_left(dist, step) - step) + \
+            stay * dist
+        alive = recv + stay
+        step *= 2
+    return [v[..., :K] for v in vals], count
+
+
 def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                          meta, *refs):
     """Compact variant of ``_pair_kernel``: dest/source packs are
@@ -966,15 +1038,15 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
     sentinel rows host-side.  The kernel is pure pair arithmetic over
     mask planes."""
     (tz, Md, oys, oxs, d_props, d_const_list, src_metas, out_props,
-     out_ops) = meta
+     out_ops, union) = meta
     it = iter(refs)
-    _bi = next(it)                   # scalar prefetch (used by maps)
-    _bj = next(it)
-    _bz = next(it)
+    bi_ref = next(it)                # scalar prefetch (used by maps)
+    bj_ref = next(it)
+    bz_ref = next(it)
     na_ref = next(it)                # (1,): number of active blocks
     for _ in src_metas:
         next(it)                     # per-source inverse block maps
-    scal = next(it)                  # (1, 2): t, dt
+    scal = next(it)                  # (1, 2) [t, dt] or (1, 8) union
     d_ref = next(it)                 # (1, 2 + Pd, tz, Md)
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
     srcs = []
@@ -982,8 +1054,11 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
         s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
         s_consts = {('s', p): next(it)[0] for p in s_const_list}
         srcs.append((s_ref, s_props, s_consts, s_const_list))
-    out_ref = next(it)               # (1, Po, tz, Md)
+    out_ref = next(it)               # (1, Po(+1 union), tz, Md)
     scratch = [next(it) for _ in out_props]
+    exc_scratch = None
+    if union is not None and any(K is not None for K in union.Ks):
+        exc_scratch = next(it)
 
     t = scal[0, 0]
     dt = scal[0, 1]
@@ -1003,15 +1078,96 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
             scratch[po][...] = jnp.full(
                 scratch[po].shape, neutral[out_ops[prop]],
                 scratch[po].dtype)
+        if exc_scratch is not None:
+            exc_scratch[...] = jnp.zeros(exc_scratch.shape,
+                                         exc_scratch.dtype)
+
+    def _accumulate(runner, out_idx):
+        for prop, (op, val) in runner.acc.items():
+            sref = scratch[out_idx[prop]]
+            cur = sref[...]
+            if op == 'sum':
+                sref[...] = cur + val
+            elif op == 'max':
+                sref[...] = jnp.maximum(cur, val)
+            else:
+                sref[...] = jnp.minimum(cur, val)
+
+    def _union_windows(si):
+        """Per-row union window of source ``si``: lane-concat the
+        stencil strips, prune candidates by exact distance to the
+        dest cell's AABB (conservative superset of every per-pair
+        max(hi,hj) support test), left-pack the value planes, and
+        return (packed planes, pair mask, count excess)."""
+        (s_ref, s_props, _sc, _scl) = srcs[si]
+        fdt = d_ref.dtype
+        refs9 = [s_ref[(oy, ox)] for oy in oys for ox in oxs]
+
+        def win(pi):
+            return jnp.concatenate([r_[0, pi] for r_ in refs9],
+                                   axis=-1)
+
+        wmask = win(0)                          # (tz, C)
+        C = wmask.shape[-1]
+        K = min(union.Ks[si], C)
+        wx = win(1 + s_props.index('x'))
+        wy = win(1 + s_props.index('y'))
+        wz = win(1 + s_props.index('z'))
+        wh = win(1 + s_props.index('h'))
+        # dest cell AABB (kernel axes; scal rows 2.. are the swapped
+        # origin/width): i from bi, j from bj, z per row r
+        o_i, o_j, o_z = scal[0, 2], scal[0, 3], scal[0, 4]
+        w_i, w_j, w_z = scal[0, 5], scal[0, 6], scal[0, 7]
+        cc_i = o_i + (bi_ref[a].astype(fdt) + 0.5) * w_i
+        cc_j = o_j + (bj_ref[a].astype(fdt) + 0.5) * w_j
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (tz, 1), 0)
+        cc_z = o_z + ((bz_ref[a] * tz + iota_r).astype(fdt) + 0.5) \
+            * w_z
+        if union.swapped:
+            # 2D/1D: kernel z-axis is the physical y-axis
+            dxp = wx - cc_i
+            dyp = wy - cc_z
+            dzp = jnp.zeros_like(dxp)
+            hx, hy, hz = 0.5 * w_i, 0.5 * w_z, None
+        else:
+            dxp = wx - cc_i
+            dyp = wy - cc_j
+            dzp = wz - cc_z
+            hx, hy, hz = 0.5 * w_i, 0.5 * w_j, 0.5 * w_z
+        if domain is not None and domain.is_periodic:
+            dxp, dyp, dzp = domain.minimum_image(dxp, dyp, dzp)
+        d2 = jnp.maximum(jnp.abs(dxp) - hx, 0.0) ** 2 + \
+            jnp.maximum(jnp.abs(dyp) - hy, 0.0) ** 2
+        if hz is not None:
+            d2 = d2 + jnp.maximum(jnp.abs(dzp) - hz, 0.0) ** 2
+        dh = dcols['h']
+        hrow = jnp.max(dh * dmaskf, axis=-1, keepdims=True)  # (tz,1)
+        sup = radius_scale * jnp.maximum(hrow, wh)
+        flag = jnp.where((d2 <= sup * sup) & (wmask > 0.0), 1, 0)
+        flag = flag.astype(jnp.int32)
+        planes = [wmask] + [win(1 + pi)
+                            for pi in range(len(s_props))]
+        packed, count = _left_pack(flag, planes, K)
+        excess = jnp.maximum(count - K, 0).astype(fdt)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (tz, K), 1)
+        pmaskf = jnp.where(k_iota < count, 1.0, 0.0).astype(fdt)
+        # left-pack zero-fills dropped lanes; fold the slot mask so
+        # stale values beyond count can never contribute
+        pk = {p: packed[1 + pi] * pmaskf
+              for pi, p in enumerate(s_props)}
+        return pk, pmaskf * packed[0], excess
 
     @pl.when(occ)
     def _compute():
         out_idx = {p: po for po, p in enumerate(out_props)}
+        Ks = union.Ks if union is not None else \
+            tuple(None for _ in srcs)
         for oy in oys:
             for ox in oxs:
-                written = [None]
-                for (s_ref, s_props, s_consts, s_const_list), eqs in \
-                        zip(srcs, eqs_list):
+                for si, ((s_ref, s_props, s_consts, s_const_list),
+                         eqs) in enumerate(zip(srcs, eqs_list)):
+                    if Ks[si] is not None:
+                        continue
                     ref = s_ref[(oy, ox)]
                     smaskf_cat = ref[0, 0]          # (tz, 3Ms)
                     src_any = jnp.sum(smaskf_cat) > 0.0
@@ -1034,19 +1190,60 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                             set(p for p in d_const_list),
                             set(p for p in s_const_list))
                         runner.ctx = ctx
-                        written[0] = _run_eqs(eqs, ctx, t, dt,
-                                              written[0])
-                        for prop, (op, val) in runner.acc.items():
-                            sref = scratch[out_idx[prop]]
-                            cur = sref[...]
-                            if op == 'sum':
-                                sref[...] = cur + val
-                            elif op == 'max':
-                                sref[...] = jnp.maximum(cur, val)
-                            else:
-                                sref[...] = jnp.minimum(cur, val)
+                        _run_eqs(eqs, ctx, t, dt)
+                        _accumulate(runner, out_idx)
 
                     pl.when(src_any)(_phase)
+
+        for si, ((s_ref, s_props, s_consts, s_const_list), eqs) in \
+                enumerate(zip(srcs, eqs_list)):
+            if Ks[si] is None:
+                continue
+            # any candidate in the 9 strips at all?
+            tot = None
+            for oy in oys:
+                for ox in oxs:
+                    m = jnp.sum(s_ref[(oy, ox)][0, 0])
+                    tot = m if tot is None else tot + m
+            src_any = tot > 0.0
+
+            def _uphase(si=si, s_props=s_props, s_consts=s_consts,
+                        s_const_list=s_const_list, eqs=eqs):
+                pk, pmaskf, excess = _union_windows(si)
+                exc_scratch[...] = jnp.maximum(
+                    exc_scratch[...],
+                    jnp.broadcast_to(excess, exc_scratch.shape))
+                cz = union.cz
+                consts = {}
+                consts.update(d_consts)
+                consts.update(s_consts)
+                chunks = {}
+                for r0 in range(0, tz, cz):
+                    sl = slice(r0, r0 + cz)
+                    dcols_c = {p: dcols[p][sl] for p in d_props}
+
+                    def scat(prop, sl=sl):
+                        return pk[prop][sl]
+
+                    runner = _KernelRunner(dcols_c, scat,
+                                           dmaskf[sl], pmaskf[sl],
+                                           consts)
+                    ctx = PlanePairContext(
+                        runner, kernel_obj, domain, radius_scale,
+                        set(p for p in d_const_list),
+                        set(p for p in s_const_list))
+                    runner.ctx = ctx
+                    _run_eqs(eqs, ctx, t, dt)
+                    for prop, (op, val) in runner.acc.items():
+                        chunks.setdefault(prop, (op, []))[1].append(
+                            val)
+                full = _KernelRunner({}, None, None, None, consts)
+                full.acc = {
+                    p: (op, jnp.concatenate(vals, axis=0))
+                    for p, (op, vals) in chunks.items()}
+                _accumulate(full, out_idx)
+
+            pl.when(src_any)(_uphase)
 
     @pl.when(valid)
     def _writeback():
@@ -1061,6 +1258,8 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
             else:
                 new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
             out_ref[0, po] = new
+        if exc_scratch is not None:
+            out_ref[0, len(out_props)] = exc_scratch[...]
 
 
 def _flat_block(i, j, zt, ny, n_zt):
@@ -1154,11 +1353,18 @@ def _pack_from_rows(rows, planes, A, tz, M):
 
 
 def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
-                          dt, interpret=None):
+                          dt, interpret=None, geometry=None):
     """Compact-pack execution of a validated plan: all HBM staging is
     proportional to ACTIVE blocks (geometric occupancy), not the dense
     bounding grid — measured ~9x less staged data at dam_break_3d
-    dx=0.02 (11% block activity)."""
+    dx=0.02 (11% block activity).
+
+    When ``geometry`` is available and a source's stencil window is
+    wide (3D at real cell capacities), the kernel compacts each dest
+    cell's candidate window in VMEM before the pair phase (union
+    compaction, see _left_pack) — replacing 9 per-offset (tz, Md,
+    pad128(3Ms)) pair blocks with one (tz, Md, K) block over the
+    distance-pruned window."""
     rec = plan.rec
     dest_consts = set(dest_store.schema.consts)
     C = spec.n_cells
@@ -1227,12 +1433,63 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     oys = (0,) if ny == 1 else (-1, 0, 1)
     oxs = (0,) if nx == 1 else (-1, 0, 1)
 
+    # ---- union-compaction decision per source -----------------------
+    import os
+    n_oxy = len(oys) * len(oxs)
+    env_u = os.environ.get('PYSPH_TPU_UNION', 'auto')
+    Ks = []
+    for (src_store_u, _e), Ms, (s_read, _sc) in zip(
+            plan.phases, Mss, rec.sources):
+        if geometry is None or env_u == '0' or 'h' not in d_props:
+            Ks.append(None)
+            continue
+        needed = (s_read | dep_props) - set(src_store_u.schema.consts)
+        if not {'x', 'y', 'z', 'h'} <= needed:
+            Ks.append(None)
+            continue
+        C_s = n_oxy * 3 * Ms
+        sname_u = src_store_u.schema.name
+        K = spec.window_cap_for(sname_u)
+        if K == 0:
+            # geometric default: the Minkowski sum of a cell and the
+            # support ball covers ~0.64-0.75 of the full stencil
+            # window at typical slack; overflow grows it at runtime
+            K = _pad_up(max(128, int(0.72 * C_s)), 128)
+        K = min(K, _pad_up(C_s, 128))
+        # only worth it when the packed window beats the per-offset
+        # lane-padded pair blocks by a clear margin
+        if env_u != '1' and n_oxy * _pad_up(3 * Ms, 128) < K + 256:
+            Ks.append(None)
+            continue
+        spec.window_caps.setdefault(sname_u, K)
+        Ks.append(K)
+    any_union = any(K is not None for K in Ks)
+    union = None
+    if any_union:
+        n_temps = int(os.environ.get('PYSPH_TPU_VMEM_TEMPS', '50'))
+        Kmax = max(K for K in Ks if K)
+        row_b = (n_temps * _pad_up(Md, 8) * _pad_up(Kmax, 128) *
+                 np.dtype(fdt).itemsize)
+        cz = max(1, min(tz, int(12e6 // row_b)))
+        while tz % cz:
+            cz -= 1
+        union = _UnionMeta(tuple(Ks), cz, spec.dims[2] == 1)
+
     ins = []
     in_specs = []
-    scal = jnp.stack([jnp.asarray(t, fdt),
-                      jnp.asarray(dt, fdt)]).reshape(1, 2)
+    tdt = [jnp.asarray(t, fdt), jnp.asarray(dt, fdt)]
+    if any_union:
+        origin_g, widths_g = geometry
+        if spec.dims[2] == 1:
+            gvals = [origin_g[0], jnp.zeros((), fdt), origin_g[1],
+                     widths_g[0], jnp.ones((), fdt), widths_g[1]]
+        else:
+            gvals = [origin_g[0], origin_g[1], origin_g[2],
+                     widths_g[0], widths_g[1], widths_g[2]]
+        tdt += [jnp.asarray(v, fdt) for v in gvals]
+    scal = jnp.stack(tdt).reshape(1, len(tdt))
     ins.append(scal)
-    in_specs.append(pl.BlockSpec((1, 2), const_map))
+    in_specs.append(pl.BlockSpec((1, len(tdt)), const_map))
     ins.append(d_pack)
     in_specs.append(pl.BlockSpec((1, 2 + len(d_props), tz, Md),
                                  dest_map))
@@ -1380,25 +1637,35 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         eqs_list.append(eqs)
 
     Po = len(out_props)
-    out_spec = pl.BlockSpec((1, Po, tz, Md), dest_map)
-    out_shape = jax.ShapeDtypeStruct((A_max, Po, tz, Md), fdt)
+    Po_out = Po + 1 if any_union else Po
+    out_spec = pl.BlockSpec((1, Po_out, tz, Md), dest_map)
+    out_shape = jax.ShapeDtypeStruct((A_max, Po_out, tz, Md), fdt)
 
     meta = (tz, Md, oys, oxs, tuple(d_props), tuple(d_const_list),
-            tuple(src_metas), tuple(out_props), dict(rec.out_ops))
+            tuple(src_metas), tuple(out_props), dict(rec.out_ops),
+            union)
     kern = functools.partial(_pair_kernel_compact, eqs_list,
                              plan.kernel_obj, plan.domain,
                              plan.radius_scale, meta)
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
     from jax.experimental.pallas import tpu as pltpu
+    n_scratch = Po + (1 if any_union else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4 + len(inv_srcs), grid=(A_max,),
         in_specs=in_specs, out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((tz, Md), fdt)
-                        for _ in out_props])
+                        for _ in range(n_scratch)])
     outp = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret)(bi, bj, bz, na_pf, *inv_srcs, *ins)
+    window_ovf = jnp.asarray(False)
+    if any_union:
+        # blocks beyond na never run _writeback: their planes hold
+        # uninitialized garbage/NaN and must be masked out
+        act = jnp.arange(A_max, dtype=jnp.int32)[:, None, None] < na
+        window_ovf = jnp.max(jnp.where(act, outp[:, Po], 0.0)) > 0.0
+        outp = outp[:, :Po]
 
     # ---- fold outputs straight back to flat particle order ----------
     # every active particle's block is dest-active by construction, so
@@ -1426,4 +1693,5 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         col = vals_t[po * cap:(po + 1) * cap]
         old = fview[p]
         fview[p] = jnp.where(ok, col.astype(old.dtype), old)
-    return block_ovf
+    return {'block_overflow': block_ovf,
+            'window_overflow': window_ovf}

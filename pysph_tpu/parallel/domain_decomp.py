@@ -572,7 +572,7 @@ class DistributedRunner(object):
         in_specs = ({n: specs[n] for n in gstates}, P(), P())
         diag_spec = {
             'cell_overflow': P(), 'extent_overflow': P(),
-            'block_overflow': P(),
+            'block_overflow': P(), 'window_overflow': P(),
         }
         diag_spec.update({k: P() for k in EXCHANGE_DIAG_KEYS})
         out_specs = ({n: specs[n] for n in gstates}, P(), diag_spec)
@@ -658,7 +658,8 @@ class DistributedRunner(object):
                      or isinstance(v, (bool, np.bool_))}
             grid_ovf = (flags.get('cell_overflow', False) or
                         flags.get('extent_overflow', False) or
-                        flags.get('block_overflow', False))
+                        flags.get('block_overflow', False) or
+                        flags.get('window_overflow', False))
             buf_ovf = flags.get('exchange_overflow', False)
             cap_ovf = flags.get('capacity_overflow', False)
             if not (grid_ovf or buf_ovf or cap_ovf):
@@ -672,7 +673,8 @@ class DistributedRunner(object):
                 spec = spec.grow(
                     cells=flags.get('cell_overflow', False),
                     extent=flags.get('extent_overflow', False),
-                    blocks=flags.get('block_overflow', False))
+                    blocks=flags.get('block_overflow', False),
+                    windows=flags.get('window_overflow', False))
                 self.integrator.set_nnps(spec)
                 self._step = None
             if buf_ovf:

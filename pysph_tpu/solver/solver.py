@@ -190,17 +190,21 @@ class Solver(object):
                 return (sp_pack(s2), cp_pack(c2),
                         diag['cell_overflow'],
                         diag['extent_overflow'],
-                        diag['block_overflow'])
+                        diag['block_overflow'],
+                        diag.get('window_overflow',
+                                 jnp.asarray(False)))
 
             def skip(args):
                 blob, cblob, _t, _dt = args
                 return (blob, cblob, jnp.asarray(False),
-                        jnp.asarray(False), jnp.asarray(False))
+                        jnp.asarray(False), jnp.asarray(False),
+                        jnp.asarray(False))
 
             def body(carry, idx):
-                blob, cblob, th, tl, dt, dt_un, oc, oe, ob, nd = carry
+                (blob, cblob, th, tl, dt, dt_un, oc, oe, ob, ow,
+                 nd) = carry
                 active = (dt > 0.0) & (idx < n_real)
-                blob, cblob, c_ovf, e_ovf, b_ovf = jax.lax.cond(
+                blob, cblob, c_ovf, e_ovf, b_ovf, w_ovf = jax.lax.cond(
                     active, one_step, skip, (blob, cblob, th + tl,
                                              dt))
                 # Kahan: th + tl is the true time; only advance it on
@@ -224,16 +228,16 @@ class Solver(object):
                 dtn = jnp.where(active, dtn, dt)
                 dt_un = jnp.where(active, raw, dt_un)
                 return (blob, cblob, th2, tl2, dtn, dt_un, oc | c_ovf,
-                        oe | e_ovf, ob | b_ovf,
+                        oe | e_ovf, ob | b_ovf, ow | w_ovf,
                         nd + active.astype(jnp.int32)), 0
 
             fdt = th.dtype
             init = (blob, cblob, th, tl, jnp.asarray(dt0, fdt),
                     jnp.asarray(dt0, fdt), jnp.asarray(False),
                     jnp.asarray(False), jnp.asarray(False),
-                    jnp.asarray(0, jnp.int32))
-            (blob, cblob, th, tl, dtn, dt_un, oc, oe, ob, nd), _ = \
-                jax.lax.scan(body, init, jnp.arange(K))
+                    jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            (blob, cblob, th, tl, dtn, dt_un, oc, oe, ob, ow,
+             nd), _ = jax.lax.scan(body, init, jnp.arange(K))
             scal = jnp.stack([th.astype(jnp.float32),
                               tl.astype(jnp.float32),
                               dtn.astype(jnp.float32),
@@ -241,7 +245,8 @@ class Solver(object):
                               oc.astype(jnp.float32),
                               oe.astype(jnp.float32),
                               dt_un.astype(jnp.float32),
-                              ob.astype(jnp.float32)])
+                              ob.astype(jnp.float32),
+                              ow.astype(jnp.float32)])
             return blob, cblob, scal
 
         self._packed = {
@@ -396,7 +401,8 @@ class Solver(object):
                         np.float32(self.dt), np.float32(t_stop),
                         np.int32(n_real))
                     scal = np.asarray(scal)  # ONE host round trip
-                if scal[4] > 0 or scal[5] > 0 or scal[7] > 0:
+                if (scal[4] > 0 or scal[5] > 0 or scal[7] > 0 or
+                        scal[8] > 0):
                     # overflow somewhere in the chunk: grow the grid
                     # and redo from the saved pre-chunk state,
                     # per-step (the packed carry shape changed).
@@ -407,7 +413,8 @@ class Solver(object):
                     self._handle_overflow(
                         {'cell_overflow': bool(scal[4]),
                          'extent_overflow': bool(scal[5]),
-                         'block_overflow': bool(scal[7])})
+                         'block_overflow': bool(scal[7]),
+                         'window_overflow': bool(scal[8])})
                     new_states, diag, carry = self._step_fn(
                         pre_states, self.t, self.dt, None)
                     self.states = new_states
@@ -458,7 +465,8 @@ class Solver(object):
                 else:
                     diag = {'cell_overflow': False,
                             'extent_overflow': False,
-                            'block_overflow': False}
+                            'block_overflow': False,
+                            'window_overflow': False}
                 if self._check_overflow(diag):
                     # grow capacities, re-jit, and redo the step from
                     # the saved pre-step state.
@@ -513,14 +521,17 @@ class Solver(object):
     def _check_overflow(diag):
         return (bool(diag['cell_overflow']) or
                 bool(diag['extent_overflow']) or
-                bool(diag.get('block_overflow', False)))
+                bool(diag.get('block_overflow', False)) or
+                bool(diag.get('window_overflow', False)))
 
     def _handle_overflow(self, diag):
         spec = self.nnps
         spec = spec.grow(cells=bool(diag['cell_overflow']),
                          extent=bool(diag['extent_overflow']),
                          blocks=bool(diag.get('block_overflow',
-                                              False)))
+                                              False)),
+                         windows=bool(diag.get('window_overflow',
+                                               False)))
         logger.info('grid grown: dims=%s cell_capacity=%d',
                     spec.dims, spec.cell_capacity)
         self.nnps = spec

@@ -39,7 +39,8 @@ from pysph_tpu.sph.equation import (
 #: Overflow flags every diag dict carries (all False in steady state;
 #: any True -> the Solver grows the corresponding static capacity,
 #: re-jits, and redoes the step from the saved pre-step state).
-DIAG_KEYS = ('cell_overflow', 'extent_overflow', 'block_overflow')
+DIAG_KEYS = ('cell_overflow', 'extent_overflow', 'block_overflow',
+             'window_overflow')
 
 
 def empty_diag():
@@ -845,14 +846,15 @@ class AccelerationEval(object):
                                                   handle)
         return self._finalize(stores, states)
 
-    def _note_block_overflow(self, flag):
-        """OR a pallas active-block overflow into the loop diag (rides
-        the same redo-the-step path as cell/extent overflows)."""
+    def _note_block_overflow(self, flags):
+        """OR pallas overflow flags (dict from _Plan.execute: active
+        blocks / union windows) into the loop diag (rides the same
+        redo-the-step path as cell/extent overflows)."""
         if self._loop_diag is None:
             self._loop_diag = empty_diag()
         self._loop_diag = dict(self._loop_diag)
-        self._loop_diag['block_overflow'] = (
-            self._loop_diag['block_overflow'] | flag)
+        for key, flag in flags.items():
+            self._loop_diag[key] = self._loop_diag[key] | flag
 
     def consume_loop_diag(self):
         """Overflow flags raised by in-group rebinning during the last
@@ -1174,7 +1176,8 @@ class AccelerationEval(object):
             if fused is not None:
                 self._note_block_overflow(fused.execute(
                     store, handle.spec, write_mask, t, dt,
-                    write_mask_flat=fmask))
+                    write_mask_flat=fmask,
+                    geometry=(handle.origin, handle.widths)))
                 sources = OrderedDict()
 
             for src, src_eqs in sources.items():
@@ -1194,7 +1197,8 @@ class AccelerationEval(object):
                 if plan is not None:
                     self._note_block_overflow(plan.execute(
                         store, handle.spec, write_mask, t, dt,
-                        write_mask_flat=fmask))
+                        write_mask_flat=fmask,
+                        geometry=(handle.origin, handle.widths)))
                     continue
                 if callable(write_mask):
                     write_mask = self._write_mask(group, store)

@@ -35,7 +35,8 @@ class SPHEvaluator(object):
         for _ in range(4):
             if not (bool(diag['cell_overflow']) or
                     bool(diag['extent_overflow']) or
-                    bool(diag.get('block_overflow', False))):
+                    bool(diag.get('block_overflow', False)) or
+                    bool(diag.get('window_overflow', False))):
                 break
             self._create_nnps(self.arrays, grow=True)
             states = {}
@@ -62,7 +63,8 @@ class SPHEvaluator(object):
             radius_scale=self.kernel.radius_scale,
             domain=self.domain_manager)
         if grow:
-            spec = spec.grow(cells=True, extent=True, blocks=True)
+            spec = spec.grow(cells=True, extent=True, blocks=True,
+                             windows=True)
         self.nnps = spec
         self.func_eval.set_nnps(spec)
         self._jit_eval = None

@@ -197,3 +197,64 @@ def test_unwritable_block_keeps_values():
     assert np.all(arho[ghosts] == 7.5), \
         arho[ghosts][arho[ghosts] != 7.5][:5]
     assert np.all(np.isfinite(arho))
+
+
+def test_union_window_overflow_grows():
+    """A deliberately tiny union-window capacity must raise
+    diag['window_overflow']; growing the spec must clear it and
+    reproduce the classic-kernel accelerations."""
+    import os
+
+    import jax
+
+    from pysph_tpu.base.cell_grid import GridSpec
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.sph.acceleration_eval import AccelerationEval
+    from pysph_tpu.sph.basic_equations import ContinuityEquation
+    from pysph_tpu.sph.equation import Group
+
+    pa = _wcsph_fluid(3, n=400)
+    kernel = CubicSpline(dim=3)
+    eqs = [Group(equations=[ContinuityEquation('fluid', ['fluid'])])]
+    states = {'fluid': pa.to_device()[0]}
+    cfg = get_config()
+
+    def run_with(spec):
+        a_eval = AccelerationEval([pa], eqs, kernel)
+        a_eval.set_nnps(spec)
+
+        out, diag = jax.jit(
+            lambda s: a_eval.update_and_compute(0.1, 1e-4, s))(states)
+        return out, diag
+
+    cfg.use_pallas = False
+    base = GridSpec.from_particles([pa], dim=3,
+                                   radius_scale=kernel.radius_scale)
+    ref, _ = run_with(base)
+
+    cfg.use_pallas = True
+    os.environ['PYSPH_TPU_UNION'] = '1'
+    try:
+        # K=128 is far below the true union occupancy of a dense
+        # 400-particle cube -> must overflow
+        small = GridSpec.from_particles(
+            [pa], dim=3, radius_scale=kernel.radius_scale)
+        small.window_caps['fluid'] = 128
+        _, diag = run_with(small)
+        assert bool(diag['window_overflow'])
+
+        grown = small.grow(windows=True)
+        for _ in range(4):
+            out, diag = run_with(grown)
+            if not bool(diag['window_overflow']):
+                break
+            grown = grown.grow(windows=True)
+        assert not bool(diag['window_overflow'])
+    finally:
+        cfg.use_pallas = False
+        os.environ.pop('PYSPH_TPU_UNION', None)
+
+    a = np.asarray(ref['fluid']['arho'])
+    b = np.asarray(out['fluid']['arho'])
+    err = np.abs(a - b).max() / max(np.abs(a).max(), 1e-12)
+    assert err < 5e-5, err
