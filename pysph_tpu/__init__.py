@@ -19,4 +19,14 @@ A ground-up re-design of the capabilities of PySPH (pypr/pysph) for TPUs:
 
 __version__ = '0.1.0'
 
+import os as _os
+
+if _os.environ.get('PYSPH_TPU_PLATFORM'):
+    # Select the JAX platform before any backend initializes (e.g.
+    # PYSPH_TPU_PLATFORM=cpu runs examples without touching an
+    # attached accelerator).
+    import jax as _jax
+    _jax.config.update('jax_platforms',
+                       _os.environ['PYSPH_TPU_PLATFORM'])
+
 from pysph_tpu import config  # noqa

@@ -1145,6 +1145,12 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
         sup = radius_scale * jnp.maximum(hrow, wh)
         flag = jnp.where((d2 <= sup * sup) & (wmask > 0.0), 1, 0)
         flag = flag.astype(jnp.int32)
+        if K >= C:
+            # window fits uncompacted: flags become the pair mask and
+            # the pack pass is skipped entirely
+            ff = flag.astype(fdt)
+            pk = {p: win(1 + pi) for pi, p in enumerate(s_props)}
+            return pk, ff * wmask, jnp.zeros((tz, 1), fdt)
         planes = [wmask] + [win(1 + pi)
                             for pi in range(len(s_props))]
         packed, count = _left_pack(flag, planes, K)
@@ -1217,31 +1223,40 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                 consts = {}
                 consts.update(d_consts)
                 consts.update(s_consts)
-                chunks = {}
                 for r0 in range(0, tz, cz):
                     sl = slice(r0, r0 + cz)
-                    dcols_c = {p: dcols[p][sl] for p in d_props}
+                    # skip row chunks with no writable dest (blocks
+                    # cover tz z-cells but the dest often occupies a
+                    # few: measured ~24% slot occupancy at
+                    # dam_break_3d dx=0.02)
+                    chunk_any = jnp.sum(wmf[sl] * dmaskf[sl]) > 0.0
 
-                    def scat(prop, sl=sl):
-                        return pk[prop][sl]
+                    def _chunk(sl=sl):
+                        dcols_c = {p: dcols[p][sl] for p in d_props}
 
-                    runner = _KernelRunner(dcols_c, scat,
-                                           dmaskf[sl], pmaskf[sl],
-                                           consts)
-                    ctx = PlanePairContext(
-                        runner, kernel_obj, domain, radius_scale,
-                        set(p for p in d_const_list),
-                        set(p for p in s_const_list))
-                    runner.ctx = ctx
-                    _run_eqs(eqs, ctx, t, dt)
-                    for prop, (op, val) in runner.acc.items():
-                        chunks.setdefault(prop, (op, []))[1].append(
-                            val)
-                full = _KernelRunner({}, None, None, None, consts)
-                full.acc = {
-                    p: (op, jnp.concatenate(vals, axis=0))
-                    for p, (op, vals) in chunks.items()}
-                _accumulate(full, out_idx)
+                        def scat(prop, sl=sl):
+                            return pk[prop][sl]
+
+                        runner = _KernelRunner(dcols_c, scat,
+                                               dmaskf[sl],
+                                               pmaskf[sl], consts)
+                        ctx = PlanePairContext(
+                            runner, kernel_obj, domain, radius_scale,
+                            set(p for p in d_const_list),
+                            set(p for p in s_const_list))
+                        runner.ctx = ctx
+                        _run_eqs(eqs, ctx, t, dt)
+                        for prop, (op, val) in runner.acc.items():
+                            sref = scratch[out_idx[prop]]
+                            cur = sref[sl, :]
+                            if op == 'sum':
+                                sref[sl, :] = cur + val
+                            elif op == 'max':
+                                sref[sl, :] = jnp.maximum(cur, val)
+                            else:
+                                sref[sl, :] = jnp.minimum(cur, val)
+
+                    pl.when(chunk_any)(_chunk)
 
             pl.when(src_any)(_uphase)
 
@@ -1471,6 +1486,9 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         row_b = (n_temps * _pad_up(Md, 8) * _pad_up(Kmax, 128) *
                  np.dtype(fdt).itemsize)
         cz = max(1, min(tz, int(12e6 // row_b)))
+        cz_env = os.environ.get('PYSPH_TPU_UNION_CZ')
+        if cz_env:
+            cz = max(1, min(tz, int(cz_env)))
         while tz % cz:
             cz -= 1
         union = _UnionMeta(tuple(Ks), cz, spec.dims[2] == 1)

@@ -128,7 +128,9 @@ class MomentumEquationWithStress(Equation):
         wdp = d_wdeltap[0]
         use_corr = wdp > 0.0
         safe_wdp = jnp.where(use_corr, wdp, 1.0)
-        fab = (WIJ / safe_wdp) ** d_n[0]
+        # float exponent: an integer scalar power trips a Mosaic
+        # scalar->vector sitofp verification error inside pallas
+        fab = (WIJ / safe_wdp) ** (d_n[0] * 1.0)
         fab = jnp.where(use_corr, fab, 0.0)
         art00 = fab * (d_r00[d_idx] + s_r00[s_idx])
         art01 = fab * (d_r01[d_idx] + s_r01[s_idx])

@@ -77,6 +77,12 @@ EXAMPLES = [
      ['--dx', '0.06']),
     ('pysph_tpu.examples.naca_airfoil_2d', 'NACAWindTunnel',
      ['--nx', '6', '--lt', '10', '--wt', '6']),
+    ('pysph_tpu.examples.solid_mech.impact', 'Impact',
+     ['--dx', '0.0005']),
+    ('pysph_tpu.examples.solid_mech.impact3d', 'Impact3D',
+     ['--dx', '0.001']),
+    ('pysph_tpu.examples.solid_mech.taylor_bar', 'TaylorBar',
+     ['--dx', '0.0012']),
 ]
 
 
