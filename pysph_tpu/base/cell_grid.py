@@ -156,6 +156,16 @@ class GridSpec(object):
         cell_run = cell_slack * radius_scale * hmax
         per = (domain.periodic if domain is not None
                else (False, False, False))
+        if domain is not None and getattr(domain, 'is_mirror', False):
+            # mirror-image ghosts live in a band outside the domain
+            # faces; size the grid to hold them from the start
+            band = domain.n_layers * cell_run
+            for d, flag in enumerate((domain.mirror_in_x,
+                                      domain.mirror_in_y,
+                                      domain.mirror_in_z)):
+                if flag and d < dim:
+                    los[d] -= band
+                    his[d] += band
         dims = []
         for d in range(3):
             if d >= dim:

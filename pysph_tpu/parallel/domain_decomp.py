@@ -573,6 +573,7 @@ class DistributedRunner(object):
         diag_spec = {
             'cell_overflow': P(), 'extent_overflow': P(),
             'block_overflow': P(), 'window_overflow': P(),
+            'mirror_overflow': P(),
         }
         diag_spec.update({k: P() for k in EXCHANGE_DIAG_KEYS})
         out_specs = ({n: specs[n] for n in gstates}, P(), diag_spec)

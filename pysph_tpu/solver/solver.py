@@ -117,8 +117,40 @@ class Solver(object):
     def _sync_to_device(self):
         self.states = {}
         for pa in self.particles:
-            state, _ = pa.to_device()
+            state, _ = pa.to_device(capacity=self._mirror_capacity(pa))
             self.states[pa.name] = state
+
+    def _mirror_capacity(self, pa):
+        """Initial flat capacity with headroom for mirror-image ghosts
+        (None = the ParticleArray default).  2x the initial near-face
+        count covers corner images and in-run drift; runtime overflow
+        still grows via ``mirror_overflow``."""
+        dom = self.domain
+        if dom is None or not getattr(dom, 'is_mirror', False):
+            return None
+        n = pa.get_number_of_particles()
+        if n == 0:
+            return None
+        hmax = 0.0
+        for p in self.particles:
+            if p.get_number_of_particles():
+                hmax = max(hmax, float(np.max(p.h)))
+        spec = self.nnps
+        band = (dom.n_layers * spec.cell_slack * spec.radius_scale *
+                hmax)
+        x = np.asarray(pa.x)
+        y = np.asarray(pa.y)
+        z = np.asarray(pa.z)
+        g = 0
+        for flag, c, lo, hi in (
+                (dom.mirror_in_x, x, dom.xmin, dom.xmax),
+                (dom.mirror_in_y, y, dom.ymin, dom.ymax),
+                (dom.mirror_in_z, z, dom.zmin, dom.zmax)):
+            if flag:
+                g += int(np.sum(c - lo <= band))
+                g += int(np.sum(hi - c <= band))
+        cap = n + 2 * g + 128
+        return -(-cap // 128) * 128
 
     def _sync_to_host(self):
         if self._blob is not None:
@@ -192,19 +224,22 @@ class Solver(object):
                         diag['extent_overflow'],
                         diag['block_overflow'],
                         diag.get('window_overflow',
+                                 jnp.asarray(False)),
+                        diag.get('mirror_overflow',
                                  jnp.asarray(False)))
 
             def skip(args):
                 blob, cblob, _t, _dt = args
                 return (blob, cblob, jnp.asarray(False),
                         jnp.asarray(False), jnp.asarray(False),
-                        jnp.asarray(False))
+                        jnp.asarray(False), jnp.asarray(False))
 
             def body(carry, idx):
-                (blob, cblob, th, tl, dt, dt_un, oc, oe, ob, ow,
+                (blob, cblob, th, tl, dt, dt_un, oc, oe, ob, ow, om,
                  nd) = carry
                 active = (dt > 0.0) & (idx < n_real)
-                blob, cblob, c_ovf, e_ovf, b_ovf, w_ovf = jax.lax.cond(
+                (blob, cblob, c_ovf, e_ovf, b_ovf, w_ovf,
+                 m_ovf) = jax.lax.cond(
                     active, one_step, skip, (blob, cblob, th + tl,
                                              dt))
                 # Kahan: th + tl is the true time; only advance it on
@@ -229,14 +264,16 @@ class Solver(object):
                 dt_un = jnp.where(active, raw, dt_un)
                 return (blob, cblob, th2, tl2, dtn, dt_un, oc | c_ovf,
                         oe | e_ovf, ob | b_ovf, ow | w_ovf,
+                        om | m_ovf,
                         nd + active.astype(jnp.int32)), 0
 
             fdt = th.dtype
             init = (blob, cblob, th, tl, jnp.asarray(dt0, fdt),
                     jnp.asarray(dt0, fdt), jnp.asarray(False),
                     jnp.asarray(False), jnp.asarray(False),
-                    jnp.asarray(False), jnp.asarray(0, jnp.int32))
-            (blob, cblob, th, tl, dtn, dt_un, oc, oe, ob, ow,
+                    jnp.asarray(False), jnp.asarray(False),
+                    jnp.asarray(0, jnp.int32))
+            (blob, cblob, th, tl, dtn, dt_un, oc, oe, ob, ow, om,
              nd), _ = jax.lax.scan(body, init, jnp.arange(K))
             scal = jnp.stack([th.astype(jnp.float32),
                               tl.astype(jnp.float32),
@@ -246,7 +283,8 @@ class Solver(object):
                               oe.astype(jnp.float32),
                               dt_un.astype(jnp.float32),
                               ob.astype(jnp.float32),
-                              ow.astype(jnp.float32)])
+                              ow.astype(jnp.float32),
+                              om.astype(jnp.float32)])
             return blob, cblob, scal
 
         self._packed = {
@@ -402,21 +440,21 @@ class Solver(object):
                         np.int32(n_real))
                     scal = np.asarray(scal)  # ONE host round trip
                 if (scal[4] > 0 or scal[5] > 0 or scal[7] > 0 or
-                        scal[8] > 0):
+                        scal[8] > 0 or scal[9] > 0):
                     # overflow somewhere in the chunk: grow the grid
                     # and redo from the saved pre-chunk state,
                     # per-step (the packed carry shape changed).
                     self._blob = pre_blob
                     self._cblob = pre_cblob
                     self._exit_packed()
-                    pre_states = self.states
                     self._handle_overflow(
                         {'cell_overflow': bool(scal[4]),
                          'extent_overflow': bool(scal[5]),
                          'block_overflow': bool(scal[7]),
-                         'window_overflow': bool(scal[8])})
+                         'window_overflow': bool(scal[8]),
+                         'mirror_overflow': bool(scal[9])})
                     new_states, diag, carry = self._step_fn(
-                        pre_states, self.t, self.dt, None)
+                        self.states, self.t, self.dt, None)
                     self.states = new_states
                     self._nnps_carry = carry
                     self._enter_packed(carry)
@@ -466,16 +504,16 @@ class Solver(object):
                     diag = {'cell_overflow': False,
                             'extent_overflow': False,
                             'block_overflow': False,
-                            'window_overflow': False}
+                            'window_overflow': False,
+                            'mirror_overflow': False}
                 if self._check_overflow(diag):
                     # grow capacities, re-jit, and redo the step from
                     # the saved pre-step state.
                     self._blob = pre_blob
                     self._exit_packed()
-                    pre_states = self.states
                     self._handle_overflow(diag)
                     new_states, diag, carry = self._step_fn(
-                        pre_states, self.t, self.dt, None)
+                        self.states, self.t, self.dt, None)
                     self.states = new_states
                     self._nnps_carry = carry
                     self._enter_packed(carry)
@@ -492,9 +530,11 @@ class Solver(object):
                     # grow capacities, re-jit, and redo the step from
                     # the saved pre-step state so no neighbors are
                     # dropped.
+                    self.states = pre_states
                     self._handle_overflow(diag)
                     new_states, diag, carry = self._step_fn(
-                        pre_states, self.t, self.dt, self._nnps_carry)
+                        self.states, self.t, self.dt,
+                        self._nnps_carry)
                 self.states = new_states
                 self._nnps_carry = carry
 
@@ -522,9 +562,14 @@ class Solver(object):
         return (bool(diag['cell_overflow']) or
                 bool(diag['extent_overflow']) or
                 bool(diag.get('block_overflow', False)) or
-                bool(diag.get('window_overflow', False)))
+                bool(diag.get('window_overflow', False)) or
+                bool(diag.get('mirror_overflow', False)))
 
     def _handle_overflow(self, diag):
+        if bool(diag.get('mirror_overflow', False)):
+            # mirror ghosts did not fit the capacity tail: pad the
+            # flat device state (and redo from it)
+            self._grow_state_capacity()
         spec = self.nnps
         spec = spec.grow(cells=bool(diag['cell_overflow']),
                          extent=bool(diag['extent_overflow']),
@@ -539,6 +584,29 @@ class Solver(object):
         # old binning has the wrong static sizes now
         self._nnps_carry = None
         self._make_jits()
+
+    def _grow_state_capacity(self, factor=1.5):
+        """Pad every array's flat device state along axis 0 (more
+        room for mirror ghosts / added particles)."""
+        import jax.numpy as jnp
+        schemas = self.integrator.schemas
+        new_states = {}
+        for name, s in self.states.items():
+            cap = s['x'].shape[0]
+            new_cap = -(-int(cap * factor) // 128) * 128
+            grow = new_cap - cap
+            props = set(schemas[name].props)
+            ns = {}
+            for k, v in s.items():
+                if k in props and hasattr(v, 'ndim') and \
+                        v.ndim >= 1 and v.shape[0] == cap:
+                    pad = [(0, grow)] + [(0, 0)] * (v.ndim - 1)
+                    ns[k] = jnp.pad(v, pad)
+                else:
+                    ns[k] = v
+            new_states[name] = ns
+        logger.info('flat capacity grown x%.2f', factor)
+        self.states = new_states
 
     # -- timestep helpers (reference solver.py:647-700) ----------------
     def _get_undamped_timestep(self):

@@ -40,7 +40,7 @@ from pysph_tpu.sph.equation import (
 #: any True -> the Solver grows the corresponding static capacity,
 #: re-jits, and redoes the step from the saved pre-step state).
 DIAG_KEYS = ('cell_overflow', 'extent_overflow', 'block_overflow',
-             'window_overflow')
+             'window_overflow', 'mirror_overflow')
 
 
 def empty_diag():

@@ -114,6 +114,7 @@ class Integrator(object):
         self._carry_in = None
         self._carry_out = {}
         self._diag = self._fresh_diag()
+        self._refresh_mirror_ghosts()
         self.compute_accelerations(0, update_nnps=True)
         states, diag = self._states, self._diag
         carry = self._carry_out
@@ -159,10 +160,40 @@ class Integrator(object):
             self._merge_diag(loop_diag)
 
     def update_domain(self):
-        if self.domain is not None and self.domain.is_periodic:
+        if self.domain is None:
+            return
+        if self.domain.is_periodic:
             for name in list(self._states):
                 self._states[name] = self.domain.wrap_state(
                     self._states[name])
+        self._refresh_mirror_ghosts()
+
+    def _refresh_mirror_ghosts(self):
+        """Strip + re-create mirror-image ghosts (reference
+        nnps_base.pyx:465-482 update: remove ghosts, recreate)."""
+        dom = self.domain
+        if dom is None or not dom.is_mirror:
+            return
+        if self.parallel_manager is not None:
+            raise NotImplementedError(
+                'mirror boundaries are not supported on the '
+                'distributed path yet')
+        spec = self.finder
+        fdt = next(iter(self._states.values()))['x'].dtype
+        hmax = jnp.zeros((), dtype=fdt)
+        for s in self._states.values():
+            cap = s['x'].shape[0]
+            act = jnp.arange(cap, dtype=jnp.int32) < s['n_act']
+            hmax = jnp.maximum(hmax, jnp.max(
+                jnp.where(act, s['h'], 0.0)))
+        band = (dom.n_layers * spec.cell_slack * spec.radius_scale *
+                hmax)
+        for name in list(self._states):
+            s = dom.strip_mirror_ghosts(self._states[name])
+            s, ovf = dom.add_mirror_ghosts(
+                s, band, self.schemas[name].props)
+            self._states[name] = s
+            self._merge_diag({'mirror_overflow': ovf})
 
     def do_post_stage(self, stage_dt, stage):
         if self.post_stage_callback is not None:
