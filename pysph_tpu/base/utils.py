@@ -167,7 +167,7 @@ def get_particle_array_swe(constants=None, **props):
                  'dij_hat_x', 'dij_hat_y', 'ob_pa_to_remove',
                  'ob_pa_to_tag', 'pa_out_of_domain', 'is_wall_boun_pa',
                  'dw_at_t', 'pa_alpha_zero', 'fluid_pa_to_remove',
-                 'au', 'av', 'aw', 'rmin_tmp', 'V']
+                 'au', 'av', 'aw', 'arho', 'rmin_tmp', 'V']
     pa = get_particle_array(
         constants=constants, additional_props=swe_props, **props)
     pa.add_constant('swe_conv', [0.0])

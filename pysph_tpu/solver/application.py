@@ -303,7 +303,11 @@ class Application(object):
         if isinstance(self.particles, tuple):
             self.particles = list(self.particles)
         if self.scheme is not None:
-            self.scheme.setup_properties(self.particles)
+            # non-destructive: examples may add extra properties in
+            # create_particles (the reference application never calls
+            # setup_properties at all; this is a convenience for
+            # examples that skip it)
+            self.scheme.setup_properties(self.particles, clean=False)
 
         # inlet/outlet recycling hooks (reference application.py:842).
         # The reference updates between integrator stages; the whole

@@ -295,3 +295,305 @@ def remove_repeated_points(x, y, z, dx_triangle):
     _, keep = np.unique(keys, axis=0, return_index=True)
     keep.sort()
     return pts[keep, 0], pts[keep, 1], pts[keep, 2]
+
+
+# ---------------------------------------------------------------------------
+# Packed-particle pipelines (reference geometry.py:815-1202): produce
+# body-fitted, SPH-relaxation-packed initial distributions and cache
+# them next to the application output directory.
+# ---------------------------------------------------------------------------
+def _load_packing(res_file):
+    data = np.load(res_file)
+    return (data['xs'], data['ys'], data['zs'],
+            data['xf'], data['yf'], data['zf'])
+
+
+def _save_packing(res_file, xs, ys, zs, xf, yf, zf):
+    import os
+    os.makedirs(os.path.dirname(res_file) or '.', exist_ok=True)
+    np.savez(res_file, xs=xs, ys=ys, zs=zs, xf=xf, yf=yf, zf=zf)
+
+
+def _relax_packing(free, frozen, dx, dim, scheme_kw=None, domain=None,
+                   n_steps=300, project=False):
+    """Run the SPH-relaxation packing solve on ``free`` (against
+    optional ``frozen`` surface/container nodes), optionally snapping
+    the boundary layer onto the surface afterwards."""
+    from pysph_tpu.tools.particle_packing import ParticlePacking
+    arrays = [free] + ([frozen] if frozen is not None else [])
+    s = ParticlePacking(
+        [free.name], [], [frozen.name] if frozen is not None else [],
+        dim=dim, dx=dx, **(scheme_kw or {}))
+    s.setup_properties(arrays)
+    s.configure_solver(tf=1e9, dt=1e-3)
+    solver = s.get_solver()
+    if domain is not None:
+        solver.set_domain(domain)
+    solver.setup(arrays, s.get_equations(), kernel=solver.kernel)
+    solver.set_disable_output(True)
+    solver.set_max_steps(n_steps)
+    solver.solve(show_progress=False)
+    solver._sync_to_host()
+    if project and frozen is not None:
+        s.project_to_surface(free)
+    return free
+
+
+def get_packed_periodic_packed_particles(add_opt_func, folder, dx, L,
+                                         B, H=0, dim=2, dfreq=-1,
+                                         pb=None, nu=None, k=None,
+                                         tol=1e-2):
+    """A periodic packed 2D/3D domain: particles are relaxed to a
+    uniform number density instead of sitting on a lattice
+    (reference geometry.py:815).  Returns (xs, ys, zs, xf, yf, zf)
+    with the solid arrays empty; results are cached per spacing."""
+    import os
+
+    from pysph_tpu.base.domain import DomainManager
+    from pysph_tpu.tools.packer import get_packing_folders
+    from pysph_tpu.tools.particle_packing import (
+        create_free_particles_rect)
+    _, _, res_file = get_packing_folders(folder, dx)
+    if os.path.exists(res_file):
+        return _load_packing(res_file)
+    if dim == 2:
+        bound = (0.0, L, 0.0, B)
+        domain = DomainManager(xmin=0, xmax=L, ymin=0, ymax=B,
+                               periodic_in_x=True, periodic_in_y=True)
+    else:
+        bound = (0.0, L, 0.0, B, 0.0, H)
+        domain = DomainManager(xmin=0, xmax=L, ymin=0, ymax=B,
+                               zmin=0, zmax=H, periodic_in_x=True,
+                               periodic_in_y=True, periodic_in_z=True)
+    free = create_free_particles_rect(dx, 1.2, 1.0, bound, dim=dim)
+    free = _relax_packing(
+        free, None, dx, dim,
+        scheme_kw=dict(pb=pb, nu=nu, k=k, dfreq=dfreq, tol=tol),
+        domain=domain)
+    e = np.array([])
+    xf, yf, zf = (np.asarray(free.x), np.asarray(free.y),
+                  np.asarray(free.z))
+    _save_packing(res_file, e, e, e, xf, yf, zf)
+    return e, e, e, xf, yf, zf
+
+
+def _resample_closed_polygon(x, y, dx):
+    """Points every ~dx along the closed polyline plus outward unit
+    normals (CCW polygon -> right-hand perpendicular of the edge)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    # ensure closure
+    if abs(x[0] - x[-1]) > 1e-14 or abs(y[0] - y[-1]) > 1e-14:
+        x = np.append(x, x[0])
+        y = np.append(y, y[0])
+    # signed area > 0 for CCW
+    area = 0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])
+    sgn = 1.0 if area > 0 else -1.0
+    px, py, nx, ny = [], [], [], []
+    for i in range(len(x) - 1):
+        ex, ey = x[i + 1] - x[i], y[i + 1] - y[i]
+        elen = np.hypot(ex, ey)
+        if elen < 1e-14:
+            continue
+        n = max(1, int(np.ceil(elen / dx)))
+        t = np.arange(n) / n
+        px.append(x[i] + t * ex)
+        py.append(y[i] + t * ey)
+        nx.append(np.full(n, sgn * ey / elen))
+        ny.append(np.full(n, -sgn * ex / elen))
+    return (np.concatenate(px), np.concatenate(py),
+            np.concatenate(nx), np.concatenate(ny))
+
+
+def _points_in_polygon(px, py, qx, qy):
+    """Vectorized even-odd (ray casting) inside test for query points
+    (qx, qy) against the closed polygon (px, py)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    if abs(px[0] - px[-1]) > 1e-14 or abs(py[0] - py[-1]) > 1e-14:
+        px = np.append(px, px[0])
+        py = np.append(py, py[0])
+    x0, y0 = px[:-1][None, :], py[:-1][None, :]
+    x1, y1 = px[1:][None, :], py[1:][None, :]
+    qx = np.asarray(qx, dtype=np.float64)[:, None]
+    qy = np.asarray(qy, dtype=np.float64)[:, None]
+    cross = (y0 > qy) != (y1 > qy)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        xint = x0 + (qy - y0) * (x1 - x0) / (y1 - y0)
+    hits = cross & (qx < xint)
+    return (hits.sum(axis=1) % 2).astype(bool)
+
+
+def get_packed_2d_particles_from_surface_coordinates(
+        add_opt_func, folder, dx, x, y, pb=None, nu=None, k=None,
+        scale=1.0, shift=False, dfreq=-1, invert_normal=False,
+        hardpoints=None, use_prediction=False, filter_layers=False,
+        reduce_dfreq=False, tol=1e-2):
+    """Pack particles around a closed 2D surface polyline (reference
+    geometry.py:880): the band around the surface is SPH-relaxed
+    against frozen surface nodes and the boundary layer is projected
+    onto the surface, then split into body (solid, inside) and fluid
+    (outside) sets.  Results are cached per spacing."""
+    import os
+
+    from pysph_tpu.base.utils import get_particle_array
+    from pysph_tpu.tools.packer import get_packing_folders
+    from pysph_tpu.tools.particle_packing import (
+        create_free_particles_rect, get_packing_props)
+    _, _, res_file = get_packing_folders(folder, dx)
+    if os.path.exists(res_file):
+        return _load_packing(res_file)
+
+    x = np.asarray(x, dtype=np.float64) * scale
+    y = np.asarray(y, dtype=np.float64) * scale
+    if shift:
+        # stagger the surface against the ambient lattice so the
+        # packed band blends into a half-spacing-offset grid
+        x = x + dx / 2
+    sx, sy, snx, sny = _resample_closed_polygon(x, y, dx)
+    if invert_normal:
+        snx, sny = -snx, -sny
+    frozen = get_particle_array(
+        name='frozen', x=sx, y=sy, m=dx * dx, rho=1.0, h=1.2 * dx,
+        additional_props=get_packing_props())
+    frozen.xn[:] = snx
+    frozen.yn[:] = sny
+
+    pad = 6 * dx
+    bound = (sx.min() - pad, sx.max() + pad,
+             sy.min() - pad, sy.max() + pad)
+    free = create_free_particles_rect(dx, 1.2, 1.0, bound, dim=2)
+    scheme_kw = dict(pb=pb, nu=nu, k=k, dfreq=dfreq, tol=tol,
+                     hardpoints=hardpoints)
+    free = _relax_packing(free, frozen, dx, 2, scheme_kw=scheme_kw,
+                          project=True)
+    fx = np.asarray(free.x)
+    fy = np.asarray(free.y)
+    inside = _points_in_polygon(sx, sy, fx, fy)
+    # surface-projected (hard) particles belong to the body
+    hard = np.asarray(free.hard) > 0.5
+    solid_sel = inside | hard
+    xs, ys = fx[solid_sel], fy[solid_sel]
+    xf, yf = fx[~solid_sel], fy[~solid_sel]
+    zs = np.zeros_like(xs)
+    zf = np.zeros_like(xf)
+    _save_packing(res_file, xs, ys, zs, xf, yf, zf)
+    return xs, ys, zs, xf, yf, zf
+
+
+def get_packed_2d_particles_from_surface_file(
+        add_opt_func, folder, dx, filename, pb=None, nu=None, k=None,
+        scale=1.0, shift=False, dfreq=-1, invert_normal=False,
+        hardpoints=None, use_prediction=False, filter_layers=False,
+        reduce_dfreq=False, tol=1e-2):
+    """As get_packed_2d_particles_from_surface_coordinates, with the
+    closed polyline read from a two-column text file (reference
+    geometry.py:968)."""
+    data = np.loadtxt(filename)
+    return get_packed_2d_particles_from_surface_coordinates(
+        add_opt_func, folder, dx, data[:, 0], data[:, 1], pb=pb,
+        nu=nu, k=k, scale=scale, shift=shift, dfreq=dfreq,
+        invert_normal=invert_normal, hardpoints=hardpoints,
+        use_prediction=use_prediction, filter_layers=filter_layers,
+        reduce_dfreq=reduce_dfreq, tol=tol)
+
+
+def get_packed_3d_particles_from_surface_file(
+        add_opt_func, folder, dx, filename, pb=None, nu=None, k=None,
+        scale=1.0, shift=False, dfreq=-1, invert_normal=False,
+        hardpoints=None, use_prediction=False, filter_layers=False,
+        reduce_dfreq=False, tol=1e-2):
+    """Pack particles around a closed STL surface (reference
+    geometry.py:1055): frozen surface samples with facet normals,
+    relaxation in the padded bounding box, voxel-fill inside test for
+    the body/fluid split.  Results are cached per spacing."""
+    import os
+
+    from pysph_tpu.base.utils import get_particle_array
+    from pysph_tpu.tools.mesh_tools import (fill_volume_mesh,
+                                            surface_points)
+    from pysph_tpu.tools.packer import (_nearest_inside,
+                                        get_packing_folders)
+    from pysph_tpu.tools.particle_packing import (
+        create_free_particles_rect, get_packing_props)
+    from pysph_tpu.tools.read_mesh import Mesh
+    _, _, res_file = get_packing_folders(folder, dx)
+    if os.path.exists(res_file):
+        return _load_packing(res_file)
+
+    mesh = Mesh(filename).read()
+    mx = np.asarray(mesh.x) * scale
+    my = np.asarray(mesh.y) * scale
+    mz = np.asarray(mesh.z) * scale
+    cells = np.asarray(mesh.cells)
+    sx, sy, sz = surface_points(mx, my, mz, cells, dx)
+    # outward facet normals, assigned per sample via nearest vertex of
+    # the filled voxel test (normals point away from the filled side)
+    fxv, fyv, fzv = fill_volume_mesh(mx, my, mz, cells, dx)
+    inside_fn = _nearest_inside(fxv, fyv, fzv, dx)
+    eps = 0.5 * dx
+    nx = np.where(inside_fn(sx + eps, sy, sz), -1.0, 1.0)
+    ny = np.where(inside_fn(sx, sy + eps, sz), -1.0, 1.0)
+    nz = np.where(inside_fn(sx, sy, sz + eps), -1.0, 1.0)
+    mag = np.sqrt(nx * nx + ny * ny + nz * nz)
+    nx, ny, nz = nx / mag, ny / mag, nz / mag
+    if invert_normal:
+        nx, ny, nz = -nx, -ny, -nz
+    frozen = get_particle_array(
+        name='frozen', x=sx, y=sy, z=sz, m=dx ** 3, rho=1.0,
+        h=1.2 * dx, additional_props=get_packing_props())
+    frozen.xn[:] = nx
+    frozen.yn[:] = ny
+    frozen.zn[:] = nz
+
+    pad = 6 * dx
+    bound = (sx.min() - pad, sx.max() + pad, sy.min() - pad,
+             sy.max() + pad, sz.min() - pad, sz.max() + pad)
+    free = create_free_particles_rect(dx, 1.2, 1.0, bound, dim=3)
+    scheme_kw = dict(pb=pb, nu=nu, k=k, dfreq=dfreq, tol=tol,
+                     hardpoints=hardpoints)
+    free = _relax_packing(free, frozen, dx, 3, scheme_kw=scheme_kw,
+                          project=True)
+    fx = np.asarray(free.x)
+    fy = np.asarray(free.y)
+    fz = np.asarray(free.z)
+    inside = inside_fn(fx, fy, fz)
+    hard = np.asarray(free.hard) > 0.5
+    solid_sel = inside | hard
+    xs, ys, zs = fx[solid_sel], fy[solid_sel], fz[solid_sel]
+    xf, yf, zf = fx[~solid_sel], fy[~solid_sel], fz[~solid_sel]
+    _save_packing(res_file, xs, ys, zs, xf, yf, zf)
+    return xs, ys, zs, xf, yf, zf
+
+
+def create_fluid_around_packing(dx, xf, yf, L, B, zf=(0.0,), H=0.0,
+                                **props):
+    """Embed the packed fluid band into a regular ambient lattice of
+    extent L x B (x H) and return one fluid particle array (reference
+    geometry.py:1141)."""
+    from pysph_tpu.base.utils import get_particle_array
+    xf = np.asarray(xf)
+    yf = np.asarray(yf)
+    zf = np.asarray(zf)
+    xmin, xmax = xf.min(), xf.max()
+    ymin, ymax = yf.min(), yf.max()
+    zmin, zmax = zf.min(), zf.max()
+    eps = dx / 10
+    if H < 1e-14:
+        x, y = np.mgrid[dx / 2:L:dx, -B / 2 + dx / 2:B / 2:dx]
+        cond = ~((x - xmin + eps > 1e-14) &
+                 (x - xmax - eps < 1e-14) &
+                 (y - ymin + eps > 1e-14) &
+                 (y - ymax - eps < 1e-14))
+        x = np.concatenate((x[cond], xf))
+        y = np.concatenate((y[cond], yf))
+        return get_particle_array(name='fluid', x=x, y=y, **props)
+    x, y, z = np.mgrid[dx / 2:L:dx, -B / 2 + dx / 2:B / 2:dx,
+                       -H / 2 + dx / 2:H / 2:dx]
+    cond = ~((x - xmin + eps > 1e-14) & (x - xmax - eps < 1e-14) &
+             (y - ymin + eps > 1e-14) & (y - ymax - eps < 1e-14) &
+             (z - zmin + eps > 1e-14) & (z - zmax - eps < 1e-14))
+    x = np.concatenate((x[cond], xf))
+    y = np.concatenate((y[cond], yf))
+    z = np.concatenate((z[cond], zf))
+    return get_particle_array(name='fluid', x=x, y=y, z=z, **props)

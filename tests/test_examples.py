@@ -83,6 +83,57 @@ EXAMPLES = [
      ['--dx', '0.001']),
     ('pysph_tpu.examples.solid_mech.taylor_bar', 'TaylorBar',
      ['--dx', '0.0012']),
+    ('pysph_tpu.examples.dam_break.db_2d_buchner', 'DamBreak2DBuchner',
+     ['--dx', '0.08']),
+    ('pysph_tpu.examples.dam_break.dam_break_3d_lobovsky',
+     'DamBreak3DLobovsky', ['--dx', '0.06']),
+    ('pysph_tpu.examples.dam_break.db_3d_yeh', 'DamBreak3DYeh',
+     ['--dx', '0.06']),
+    ('pysph_tpu.examples.gas_dynamics.sod_shocktube', 'SodShockTube',
+     ['--nl', '100']),
+    ('pysph_tpu.examples.gas_dynamics.sod_shocktube', 'SodShockTube',
+     ['--nl', '100', '--scheme', 'crk']),
+    ('pysph_tpu.examples.gas_dynamics.wc_blastwave', 'WCBlastwave',
+     ['--nparticles', '200']),
+    ('pysph_tpu.examples.gas_dynamics.cheng_shu_1d', 'ChengShu',
+     ['--n-particles', '200']),
+    ('pysph_tpu.examples.gas_dynamics.hydrostatic_box', 'HydrostaticBox',
+     ['--nx', '20']),
+    ('pysph_tpu.examples.gas_dynamics.accuracy_test_2d', 'AccuracyTest2D',
+     ['--nparticles', '24']),
+    ('pysph_tpu.examples.gas_dynamics.riemann_2d', 'Riemann2D',
+     ['--nparticles', '40']),
+    ('pysph_tpu.examples.surface_tension.equilibrium_rod', 'MultiPhase', []),
+    ('pysph_tpu.examples.surface_tension.equilibrium_rod_hex',
+     'MultiPhaseHex', []),
+    ('pysph_tpu.examples.surface_tension.capillary_wave', 'MultiPhase', []),
+    ('pysph_tpu.examples.sphysics.case1', 'Dambreak2D', ['--dx', '0.08']),
+    ('pysph_tpu.examples.sphysics.case2', 'Dambreak_2D', ['--dx', '0.012']),
+    ('pysph_tpu.examples.sphysics.case3', 'WavesPaddle2D', ['--dx', '0.03']),
+    ('pysph_tpu.examples.sphysics.case4', 'Tsunami2D', ['--dx', '0.1']),
+    ('pysph_tpu.examples.sphysics.case8', 'Dambreak2D', ['--dx', '0.06']),
+    ('pysph_tpu.examples.shallow_water.still_water_over_a_hump_1d',
+     'StillWaterOverHump', ['--dx', '0.02']),
+    ('pysph_tpu.examples.shallow_water.still_water_over_a_step_1d',
+     'StillWaterOveraStep', ['--dx', '0.02']),
+    ('pysph_tpu.examples.shallow_water.still_water_over_a_parabolic_surface_1d',
+     'StillWaterOverParabola', ['--dx', '40']),
+    ('pysph_tpu.examples.shallow_water.rectangular_dambreak_wetbed_1d',
+     'RectangularDamBreak', []),
+    ('pysph_tpu.examples.shallow_water.cylindrical_dambreak_closed_boundary',
+     'CylindricalDamBreakClosedBoundary', ['--n', '12']),
+    ('pysph_tpu.examples.shallow_water.cylindrical_dambreak_particle_split',
+     'CylindricalDamBreakSplit', ['--n', '12']),
+    ('pysph_tpu.examples.shallow_water.particle_split_in_a_square_domain',
+     'ParticleSplitTest', []),
+    ('pysph_tpu.examples.shallow_water.rectangular_channel_flow',
+     'RectangularOpenChannelFlow',
+     ['--dx', '40', '--le', '400', '--w', '200']),
+    ('pysph_tpu.examples.shallow_water.thacker_basin', 'ThackerBasin',
+     ['--n', '10']),
+    ('pysph_tpu.examples.sloshing.st_bouscasse', 'SloshingTank',
+     ['--dx', '0.01']),
+    ('pysph_tpu.examples.rigid_body.simple', 'SimpleRigidMotion', []),
 ]
 
 
@@ -102,7 +153,8 @@ def test_example_runs(module, cls, extra):
         for pa in app.particles:
             assert np.all(np.isfinite(pa.x))
             assert np.all(np.isfinite(pa.u))
-        assert app.solver.count == 2
+        # some cases reach tf in a single step (tf == dt)
+        assert 1 <= app.solver.count <= 2
     finally:
         sys.argv = old_argv
         shutil.rmtree(tmpdir, ignore_errors=True)
