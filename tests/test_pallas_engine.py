@@ -90,6 +90,7 @@ def test_wcsph_group_parity(dim):
              ('arho', 'au', 'av', 'aw', 'ax', 'ay', 'az'))
 
 
+@pytest.mark.slow
 def test_multi_array_parity():
     """fluid + boundary sources (the dam-break structure)."""
     from pysph_tpu.base.kernels import CubicSpline
@@ -199,6 +200,7 @@ def test_unwritable_block_keeps_values():
     assert np.all(np.isfinite(arho))
 
 
+@pytest.mark.slow
 def test_union_window_overflow_grows():
     """A deliberately tiny union-window capacity must raise
     diag['window_overflow']; growing the spec must clear it and

@@ -258,6 +258,7 @@ def test_periodic_ring_vs_serial():
     np.testing.assert_allclose(drho, srho, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_multiarray_fluid_boundary():
     """fluid + static boundary arrays distributed together (the dam
     break topology): results must match serial."""
@@ -352,6 +353,7 @@ def test_multiarray_fluid_boundary():
         b_d.rho[np.argsort(b_d.gid)], sbrho, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_overflow_grow_redo():
     """step_checked must recover from undersized exchange buffers and
     local capacities by growing + redoing, and still match serial."""

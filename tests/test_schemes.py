@@ -102,6 +102,7 @@ def _domain():
                          periodic_in_x=True, periodic_in_y=True)
 
 
+@pytest.mark.slow
 def test_pcisph_scheme_taylor_green():
     from pysph_tpu.sph.wc.pcisph import (PCISPHScheme,
                                          get_particle_array_pcisph)
@@ -122,6 +123,7 @@ def test_pcisph_scheme_taylor_green():
     assert abs(np.asarray(pa.rho).mean() - 1.0) < 0.05
 
 
+@pytest.mark.slow
 def test_isph_scheme_taylor_green():
     from pysph_tpu.sph.isph.isph import (ISPHScheme,
                                          get_particle_array_isph)
@@ -143,6 +145,7 @@ def test_isph_scheme_taylor_green():
                                               1e-30) * 1.01
 
 
+@pytest.mark.slow
 def test_sisph_scheme_taylor_green():
     from pysph_tpu.sph.isph.sisph import (SISPHScheme,
                                           get_particle_array_sisph)

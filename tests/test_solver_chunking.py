@@ -7,6 +7,7 @@ import sys
 import tempfile
 
 import numpy as np
+import pytest
 
 
 def _run(chunk_steps, steps=25, output_at=()):
@@ -31,6 +32,7 @@ def _run(chunk_steps, steps=25, output_at=()):
         shutil.rmtree(tmpdir, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_chunked_matches_per_step():
     t1, c1, x1, u1, r1 = _run(chunk_steps=1)
     t5, c5, x5, u5, r5 = _run(chunk_steps=5)
@@ -41,6 +43,7 @@ def test_chunked_matches_per_step():
     assert np.allclose(r1, r5, rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_chunked_lands_on_output_times():
     # an output time mid-run: the chunk must stop there exactly and
     # resume, marching the same physics as the per-step dt-landing
@@ -52,6 +55,7 @@ def test_chunked_lands_on_output_times():
     assert np.allclose(u1, u5, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_block_overflow_grows_and_recovers():
     """An undersized active-block cap must raise
     diag['block_overflow'], double the caps, re-jit and redo — the
