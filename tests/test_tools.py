@@ -194,6 +194,47 @@ def test_viewer_writes_frames(tmp_path):
     assert len(glob.glob(str(tmp_path / 'frames' / '*.png'))) == 2
 
 
+def test_html_and_movie_viewers(tmp_path):
+    import numpy as np
+
+    from pysph_tpu.base.utils import get_particle_array
+    from pysph_tpu.solver.output import dump
+    from pysph_tpu.tools.html_viewer import write_html
+    from pysph_tpu.tools.viewer import _output_files, write_movie
+    pa = get_particle_array(name='fluid', x=np.arange(10.0),
+                            y=np.zeros(10), p=np.arange(10.0))
+    for i in range(3):
+        dump(str(tmp_path / ('case_%d.npz' % i)), [pa],
+             {'t': 0.1 * i, 'dt': 0.1, 'count': i})
+    files = _output_files(str(tmp_path))
+    out = tmp_path / 'view.html'
+    write_html(files, str(out), prop='p')
+    html = out.read_text()
+    assert 'const DATA' in html and '"frames"' in html
+    assert html.count('<script>') == 1  # self-contained, no CDN
+    movie = tmp_path / 'view.gif'
+    write_movie(files, str(movie), prop='p', fps=5)
+    assert movie.stat().st_size > 0
+
+
+def test_ipy_viewer_plot(tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    import numpy as np
+
+    from pysph_tpu.base.utils import get_particle_array
+    from pysph_tpu.solver.output import dump
+    from pysph_tpu.tools.ipy_viewer import Viewer2D
+    pa = get_particle_array(name='fluid', x=np.arange(10.0),
+                            y=np.zeros(10), u=np.ones(10))
+    dump(str(tmp_path / 'case_0.npz'), [pa],
+         {'t': 0.0, 'dt': 0.1, 'count': 0})
+    v = Viewer2D(str(tmp_path))
+    ax = v.plot(frame=0, prop='vmag', vectors=True)
+    assert ax is not None
+    assert 'vmag' in v.props
+
+
 def test_packer_region():
     import numpy as np
 
