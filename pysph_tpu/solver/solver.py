@@ -554,6 +554,9 @@ class Solver(object):
 
         self._exit_packed()
         bar.finish()
+        # keep the host ParticleArrays current even when dumps are
+        # disabled: users read app.particles after run()
+        self._sync_to_host()
         self.dump_output()
 
     # -- overflow management -------------------------------------------

@@ -60,7 +60,9 @@ class CRKSPHPreStep(Equation):
              DWIJ):
         d = self.dim
         V = 1.0 / s_V[s_idx]
-        d_crk_nnbr[d_idx] += 1.0
+        # pair-shaped increment: one count per neighbor (see
+        # ComputeAveragePressure in wc/edac.py)
+        d_crk_nnbr[d_idx] += 1.0 + 0.0 * WIJ
         d_crk_m0[d_idx] += V * WIJ
         for alp in range(d):
             d_crk_m1[3 * d_idx + alp] += V * WIJ * XIJ[alp]

@@ -54,9 +54,12 @@ class ComputeAveragePressure(Equation):
         d_pavg[d_idx] = 0.0
         d_nnbr[d_idx] = 0.0
 
-    def loop(self, d_idx, d_pavg, s_idx, s_p, d_nnbr):
+    def loop(self, d_idx, d_pavg, s_idx, s_p, d_nnbr, WIJ):
         d_pavg[d_idx] += s_p[s_idx]
-        d_nnbr[d_idx] += 1.0
+        # the increment must be pair-shaped so the batched engine
+        # counts one per neighbor (a bare scalar += in a pair loop is
+        # treated as a per-particle assignment)
+        d_nnbr[d_idx] += 1.0 + 0.0 * WIJ
 
     def post_loop(self, d_idx, d_pavg, d_nnbr):
         n = d_nnbr[d_idx]

@@ -351,3 +351,39 @@ def test_source_accumulation_two_arrays():
             if abs(i - j - 0.5) < 2.4:
                 expected[j] += 1
     np.testing.assert_allclose(p, expected)
+
+
+def test_pair_shaped_constant_accumulation_counts_neighbors():
+    """A constant accumulated per neighbor must be written
+    pair-shaped (`1.0 + 0.0 * WIJ`); this guards the EDAC/CRKSPH
+    neighbor-count regression (ComputeAveragePressure)."""
+    class CountNeighbors(Equation):
+        def initialize(self, d_idx, d_nnbr):
+            d_nnbr[d_idx] = 0.0
+
+        def loop(self, d_idx, d_nnbr, WIJ):
+            d_nnbr[d_idx] += 1.0 + 0.0 * WIJ
+
+    pa = _line_array(6, additional_props=['nnbr'])
+    a_eval, states = _setup(
+        [pa], [Group(equations=[CountNeighbors('fluid', ['fluid'])])])
+    states = _compute(a_eval, states)
+    nnbr = np.asarray(states['fluid']['nnbr'])[:6]
+    # support radius 2h = 2.4: neighbors at distance 0, 1, 2
+    expected = np.array([3., 4., 5., 5., 4., 3.])
+    np.testing.assert_allclose(nnbr, expected)
+
+
+def test_average_pressure_neighbor_count():
+    """ComputeAveragePressure must produce the mean (not the sum) of
+    neighbor pressures."""
+    from pysph_tpu.sph.wc.edac import ComputeAveragePressure
+    pa = _line_array(6, additional_props=['pavg', 'nnbr'])
+    pa.p[:] = 2.0
+    a_eval, states = _setup(
+        [pa],
+        [Group(equations=[ComputeAveragePressure('fluid',
+                                                 ['fluid'])])])
+    states = _compute(a_eval, states)
+    pavg = np.asarray(states['fluid']['pavg'])[:6]
+    np.testing.assert_allclose(pavg, 2.0, rtol=1e-12)

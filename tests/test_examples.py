@@ -134,6 +134,13 @@ EXAMPLES = [
     ('pysph_tpu.examples.sloshing.st_bouscasse', 'SloshingTank',
      ['--dx', '0.01']),
     ('pysph_tpu.examples.rigid_body.simple', 'SimpleRigidMotion', []),
+    ('pysph_tpu.examples.sphysics.case5', 'Case5', ['--dx', '0.1']),
+    ('pysph_tpu.examples.sphysics.case6', 'WavesPaddle2D',
+     ['--dx', '0.04']),
+    ('pysph_tpu.examples.sphysics.case7', 'WavesPaddle2D',
+     ['--dx', '0.05']),
+    ('pysph_tpu.examples.sphysics.dam_break', 'DamBreak',
+     ['--dx', '0.06']),
 ]
 
 
