@@ -139,7 +139,40 @@ def bench_elliptical_drop(nx=100):
     return n * sps, n
 
 
+def _fail(msg):
+    print(json.dumps({
+        'metric': 'dam_break_3d_particle_steps_per_sec_per_chip',
+        'value': 0.0, 'unit': 'particle-steps/s',
+        'vs_baseline': 0.0, 'error': msg,
+    }))
+    sys.stdout.flush()
+
+
+def _probe_backend(timeout=600):
+    """Init the jax backend in a subprocess first: the remote-TPU
+    plugin hangs un-interruptibly (inside C) when the tunnel is down,
+    so probing in-process would wedge the driver.  A successful probe
+    warms the server-side connection; the in-process init after it is
+    fast."""
+    import subprocess
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c',
+             'import jax; jax.devices(); print("backend-ok")'],
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return 'timeout: TPU backend unreachable (tunnel down?)'
+    if 'backend-ok' not in (proc.stdout or ''):
+        return 'backend init failed: %s' % (proc.stderr or '')[-500:]
+    return None
+
+
 def main():
+    err = _probe_backend()
+    if err is not None:
+        _fail(err)
+        return 3
+
     import jax
     from pysph_tpu.config import get_config
     get_config().use_pallas = jax.default_backend() in ('tpu', 'axon')

@@ -141,6 +141,8 @@ EXAMPLES = [
      ['--dx', '0.05']),
     ('pysph_tpu.examples.sphysics.dam_break', 'DamBreak',
      ['--dx', '0.06']),
+    ('pysph_tpu.examples.tg_with_packed_particles', 'TGPacked',
+     ['--nx', '20']),
 ]
 
 

@@ -422,3 +422,101 @@ def test_multihop_migration():
     # every owned particle must sit inside its owner's block
     assert pa.get_number_of_particles() == 400
     assert np.all(np.isfinite(pa.x))
+
+
+@pytest.mark.slow
+def test_distributed_dam_break_3d():
+    """BASELINE config #4: the SPHERIC Test 2 dam-break geometry
+    (fluid + boundary + obstacle) partitioned over a 2x2 (x, y)
+    block mesh with halo exchange must match the serial run."""
+    if len(jax.devices()) < 4:
+        pytest.skip('not enough devices')
+    from pysph_tpu.base.kernels import WendlandQuintic
+    from pysph_tpu.examples.db_geometry import DamBreak3DGeometry
+    from pysph_tpu.sph.wc.basic import TaitEOSHGCorrection
+    from pysph_tpu.sph.integrator_step import EulerStep
+
+    n_steps, dt = 2, 1e-4
+    c0 = 10.0 * np.sqrt(2.0 * 9.81 * 0.55)
+
+    def make():
+        geom = DamBreak3DGeometry(dx=0.08, nboundary_layers=1,
+                                  hdx=1.3, rho0=1.0)
+        fluid, boundary, obstacle = geom.create_particles()
+        for pa in (fluid, boundary, obstacle):
+            pa.gid[:] = np.arange(pa.get_number_of_particles(),
+                                  dtype=np.uint32)
+        return fluid, boundary, obstacle
+
+    def equations():
+        solids = ['boundary', 'obstacle']
+        return [
+            Group(equations=[
+                TaitEOS('fluid', None, rho0=1.0, c0=c0, gamma=7.0),
+                TaitEOSHGCorrection('boundary', None, rho0=1.0,
+                                    c0=c0, gamma=7.0),
+                TaitEOSHGCorrection('obstacle', None, rho0=1.0,
+                                    c0=c0, gamma=7.0)], real=False),
+            Group(equations=[
+                ContinuityEquation('fluid', ['fluid'] + solids),
+                ContinuityEquation('boundary', ['fluid']),
+                ContinuityEquation('obstacle', ['fluid']),
+                MomentumEquation('fluid', ['fluid'] + solids,
+                                 c0=c0, alpha=0.25, beta=0.0,
+                                 gz=-9.81),
+                XSPHCorrection('fluid', ['fluid']),
+            ]),
+        ]
+
+    def make_integ(arrs):
+        kernel = WendlandQuintic(dim=3)
+        a_eval = AccelerationEval(list(arrs), equations(), kernel)
+        integ = EPECIntegrator(fluid=WCSPHStep(),
+                               boundary=EulerStep(),
+                               obstacle=EulerStep())
+        integ.set_acceleration_evals([a_eval])
+        integ.set_nnps(GridSpec.from_particles(
+            list(arrs), dim=3, radius_scale=kernel.radius_scale))
+        return integ
+
+    # serial
+    arrs = make()
+    integ = make_integ(arrs)
+    states = {pa.name: pa.to_device()[0] for pa in arrs}
+    step = jax.jit(lambda s, t, dt: integ.step(s, t, dt)[0])
+    t = 0.0
+    for _ in range(n_steps):
+        states = step(states, t, dt)
+        t += dt
+    n = int(states['fluid']['n_act'])
+    order = np.argsort(np.asarray(states['fluid']['gid'])[:n])
+    ref = {p: np.asarray(states['fluid'][p])[:n][order]
+           for p in ('x', 'y', 'z', 'rho', 'u', 'w')}
+
+    # distributed over a 4x2 (x, y) mesh
+    arrs_d = make()
+    integ_d = make_integ(arrs_d)
+    xs = np.concatenate([np.asarray(pa.x) for pa in arrs_d])
+    ys = np.concatenate([np.asarray(pa.y) for pa in arrs_d])
+    partition = BlockPartition(
+        (2, 2), lo=(xs.min() - 0.01, ys.min() - 0.01),
+        hi=(xs.max() + 0.01, ys.max() + 0.01), axes=('x', 'y'))
+    runner = DistributedRunner(integ_d, partition,
+                               devices=jax.devices()[:4],
+                               buffer_capacity=4096)
+    gstates = runner.distribute(list(arrs_d), local_capacity=4096)
+    t = 0.0
+    for _ in range(n_steps):
+        gstates, _dt, diag = runner.step(gstates, t, dt)
+        for k in ('cell_overflow', 'extent_overflow',
+                  'exchange_overflow', 'capacity_overflow'):
+            assert not bool(diag[k]), k
+        t += dt
+    runner.collect(gstates, list(arrs_d))
+    fluid_d = arrs_d[0]
+    assert fluid_d.get_number_of_particles() == ref['x'].size
+    order_d = np.argsort(np.asarray(fluid_d.gid))
+    for p in ('x', 'y', 'z', 'rho', 'u', 'w'):
+        np.testing.assert_allclose(
+            np.asarray(getattr(fluid_d, p))[order_d], ref[p],
+            rtol=1e-8, atol=1e-10, err_msg=p)
