@@ -222,8 +222,9 @@ class CRKSPHSymmetric(Equation):
                     d_gradai[3 * d_idx + gam] * wij) * (1 + bxij)
             temp = temp + ai * (dbxij[gam] +
                                 d_bi[3 * d_idx + gam]) * wij
-            # dwji: gradient wrt x_j of W(|xij|, hj) = -DWJ
-            temp1 = (-aj * (-DWJ[gam]) +
+            # the reference's dwji = SPH_KERNEL.gradient(XIJ, ., hj)
+            # is the gradient wrt x_i evaluated at hj — exactly DWJ
+            temp1 = (-aj * DWJ[gam] +
                      s_gradai[3 * s_idx + gam] * wji) * (1 + bxji)
             temp1 = temp1 + aj * (dbxji[gam] +
                                   s_bi[3 * s_idx + gam]) * wji
