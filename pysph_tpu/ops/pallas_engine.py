@@ -59,6 +59,25 @@ class PallasIneligible(Exception):
     """This pair phase cannot run in the pallas kernel; fall back."""
 
 
+def _compiler_kwargs(pltpu):
+    """Mosaic compiler knobs, env-overridable for on-chip A/B sweeps:
+    ``PYSPH_TPU_DIMSEM`` = parallel|arbitrary (grid dimension
+    semantics) and ``PYSPH_TPU_VMEM_MB`` (scoped-VMEM budget)."""
+    import os
+    sem = os.environ.get('PYSPH_TPU_DIMSEM', '')
+    vmem = os.environ.get('PYSPH_TPU_VMEM_MB', '')
+    kw = {}
+    if sem == 'parallel':
+        kw['dimension_semantics'] = (pltpu.PARALLEL,)
+    elif sem == 'arbitrary':
+        kw['dimension_semantics'] = (pltpu.ARBITRARY,)
+    if vmem:
+        kw['vmem_limit_bytes'] = int(float(vmem) * 2 ** 20)
+    if not kw:
+        return {}
+    return {'compiler_params': pltpu.CompilerParams(**kw)}
+
+
 # dest/src property dependencies of each precomputed pair symbol
 _XYZH = ('x', 'y', 'z', 'h')
 _SYM_DEPS = {
@@ -945,7 +964,8 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
                         for _ in out_props])
     outp = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=interpret)(bi_pf, bj_pf, bz_pf, na_pf, *ins)
+        interpret=interpret,
+        **_compiler_kwargs(pltpu))(bi_pf, bj_pf, bz_pf, na_pf, *ins)
     for po, p in enumerate(out_props):
         out = outp[:, :, po]
         if act_exp is not None:
@@ -1030,13 +1050,17 @@ def _left_pack(flag, planes, K):
 def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                          meta, *refs):
     """Compact variant of ``_pair_kernel``: dest/source packs are
-    (A, P, tz, Md/3Ms) arrays over the active-block lists only, so no
-    dense slot-space arrays are ever materialized.  Geometry handling
-    (x/y edges and wrap, z edges/wrap) moved out of the kernel: the
-    source index maps resolve out-of-range/inactive neighbors to the
-    reserved all-zero entry 0, and the z lane-concat was gathered with
-    sentinel rows host-side.  The kernel is pure pair arithmetic over
-    mask planes."""
+    plane-LANE-folded (A, tz, P*Md / P*3Ms) arrays over the active-
+    block lists only, so no dense slot-space arrays are ever
+    materialized.  The plane dim lives in the lane axis (static lane
+    slices recover per-prop columns in-kernel) so every DMA block is
+    one wide contiguous row run — plane-minor (P, tz, Md) blocks move
+    sub-512B rows and measured ~9-150 GB/s effective; the folded
+    layout moves 1.6-4.6 KB rows.  Geometry handling (x/y edges and
+    wrap, z edges/wrap) stays out of the kernel: the source index maps
+    resolve out-of-range/inactive neighbors to the reserved all-zero
+    entry 0, and the z lane-concat was gathered with sentinel rows
+    host-side.  The kernel is pure pair arithmetic over mask planes."""
     (tz, Md, oys, oxs, d_props, d_const_list, src_metas, out_props,
      out_ops, union) = meta
     it = iter(refs)
@@ -1047,14 +1071,14 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
     for _ in src_metas:
         next(it)                     # per-source inverse block maps
     scal = next(it)                  # (1, 2) [t, dt] or (1, 8) union
-    d_ref = next(it)                 # (1, 2 + Pd, tz, Md)
+    d_ref = next(it)                 # (1, tz, (2 + Pd) * Md)
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
     srcs = []
-    for s_props, s_const_list in src_metas:
+    for s_props, s_const_list, _Ms in src_metas:
         s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
         s_consts = {('s', p): next(it)[0] for p in s_const_list}
         srcs.append((s_ref, s_props, s_consts, s_const_list))
-    out_ref = next(it)               # (1, Po(+1 union), tz, Md)
+    out_ref = next(it)               # (1, tz, Po(+1 union) * Md)
     scratch = [next(it) for _ in out_props]
     exc_scratch = None
     if union is not None and any(K is not None for K in union.Ks):
@@ -1065,9 +1089,11 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
     a = pl.program_id(0)
     valid = a < na_ref[0]
 
-    wmf = d_ref[0, 0]
-    dmaskf = d_ref[0, 1]
-    dcols = {p: d_ref[0, 2 + pi] for pi, p in enumerate(d_props)}
+    dfold = d_ref[0]                 # (tz, (2 + Pd) * Md)
+    wmf = dfold[:, 0:Md]
+    dmaskf = dfold[:, Md:2 * Md]
+    dcols = {p: dfold[:, (2 + pi) * Md:(3 + pi) * Md]
+             for pi, p in enumerate(d_props)}
 
     occ = valid & (jnp.sum(wmf * dmaskf) > 0.0)
 
@@ -1102,10 +1128,12 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
         (s_ref, s_props, _sc, _scl) = srcs[si]
         fdt = d_ref.dtype
         refs9 = [s_ref[(oy, ox)] for oy in oys for ox in oxs]
+        W3 = refs9[0].shape[-1] // (1 + len(s_props))
 
         def win(pi):
-            return jnp.concatenate([r_[0, pi] for r_ in refs9],
-                                   axis=-1)
+            return jnp.concatenate(
+                [r_[0][:, pi * W3:(pi + 1) * W3] for r_ in refs9],
+                axis=-1)
 
         wmask = win(0)                          # (tz, C)
         C = wmask.shape[-1]
@@ -1175,16 +1203,18 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                     if Ks[si] is not None:
                         continue
                     ref = s_ref[(oy, ox)]
-                    smaskf_cat = ref[0, 0]          # (tz, 3Ms)
+                    W3 = ref.shape[-1] // (1 + len(s_props))
+                    smaskf_cat = ref[0][:, 0:W3]    # (tz, 3Ms)
                     src_any = jnp.sum(smaskf_cat) > 0.0
 
                     def _phase(ref=ref, s_props=s_props,
                                s_consts=s_consts,
                                s_const_list=s_const_list, eqs=eqs,
-                               smaskf_cat=smaskf_cat):
+                               smaskf_cat=smaskf_cat, W3=W3):
                         def scat(prop):
                             pi = s_props.index(prop)
-                            return ref[0, 1 + pi]
+                            return ref[0][:, (1 + pi) * W3:
+                                          (2 + pi) * W3]
 
                         consts = {}
                         consts.update(d_consts)
@@ -1206,10 +1236,12 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
             if Ks[si] is None:
                 continue
             # any candidate in the 9 strips at all?
+            W3s = (s_ref[(oys[0], oxs[0])].shape[-1] //
+                   (1 + len(s_props)))
             tot = None
             for oy in oys:
                 for ox in oxs:
-                    m = jnp.sum(s_ref[(oy, ox)][0, 0])
+                    m = jnp.sum(s_ref[(oy, ox)][0][:, 0:W3s])
                     tot = m if tot is None else tot + m
             src_any = tot > 0.0
 
@@ -1272,9 +1304,10 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                 new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
             else:
                 new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
-            out_ref[0, po] = new
+            out_ref[0, :, po * Md:(po + 1) * Md] = new
         if exc_scratch is not None:
-            out_ref[0, len(out_props)] = exc_scratch[...]
+            Po_ = len(out_props)
+            out_ref[0, :, Po_ * Md:(Po_ + 1) * Md] = exc_scratch[...]
 
 
 def _flat_block(i, j, zt, ny, n_zt):
@@ -1357,14 +1390,16 @@ def _rows_matrix(flat_cols, p_idx):
 
 
 def _pack_from_rows(rows, planes, A, tz, M):
-    """(A, len(planes), tz, M) pack: plane list indexes the rows
-    matrix's plane axis."""
+    """(A, tz, len(planes) * M) lane-folded pack: plane p of block a's
+    z-row r lands in lanes [p*M, (p+1)*M) of row (a, r).  The folded
+    layout keeps every DMA block one contiguous wide-row run (plane-
+    minor packs moved sub-512B rows and measured ~9 GB/s effective)."""
     ar_a = jnp.arange(A, dtype=jnp.int32)
     ar_p = jnp.asarray(planes, dtype=jnp.int32)
     ar_r = jnp.arange(tz, dtype=jnp.int32)
-    ridx = ((ar_p[None, :, None] * A + ar_a[:, None, None]) * tz +
-            ar_r[None, None, :])               # (A, P, tz)
-    return rows[ridx.reshape(-1)].reshape(A, len(planes), tz, M)
+    ridx = ((ar_p[None, None, :] * A + ar_a[:, None, None]) * tz +
+            ar_r[None, :, None])               # (A, tz, P)
+    return rows[ridx.reshape(-1)].reshape(A, tz, len(planes) * M)
 
 
 def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
@@ -1443,7 +1478,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
 
     d_const_list = sorted(rec.d_consts)
     const_map = lambda a, *refs: (0, 0)  # noqa: E731
-    dest_map = lambda a, *refs: (a, 0, 0, 0)  # noqa: E731
+    dest_map = lambda a, *refs: (a, 0, 0)  # noqa: E731
 
     oys = (0,) if ny == 1 else (-1, 0, 1)
     oxs = (0,) if nx == 1 else (-1, 0, 1)
@@ -1452,6 +1487,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     import os
     n_oxy = len(oys) * len(oxs)
     env_u = os.environ.get('PYSPH_TPU_UNION', 'auto')
+    dname = dest_store.schema.name
     Ks = []
     for (src_store_u, _e), Ms, (s_read, _sc) in zip(
             plan.phases, Mss, rec.sources):
@@ -1464,7 +1500,13 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             continue
         C_s = n_oxy * 3 * Ms
         sname_u = src_store_u.schema.name
-        K = spec.window_cap_for(sname_u)
+        # per-pair cap first (a wall dest sees a half-space of fluid,
+        # so its window is much smaller than fluid<-fluid), then the
+        # per-source cap, then the geometric default
+        pair_key = '%s<-%s' % (dname, sname_u)
+        K = spec.window_cap_for(pair_key)
+        if K == 0:
+            K = spec.window_cap_for(sname_u)
         if K == 0:
             # geometric default: the Minkowski sum of a cell and the
             # support ball covers ~0.64-0.75 of the full stencil
@@ -1476,7 +1518,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         if env_u != '1' and n_oxy * _pad_up(3 * Ms, 128) < K + 256:
             Ks.append(None)
             continue
-        spec.window_caps.setdefault(sname_u, K)
+        spec.window_caps.setdefault(pair_key, K)
         Ks.append(K)
     any_union = any(K is not None for K in Ks)
     union = None
@@ -1509,7 +1551,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     ins.append(scal)
     in_specs.append(pl.BlockSpec((1, len(tdt)), const_map))
     ins.append(d_pack)
-    in_specs.append(pl.BlockSpec((1, 2 + len(d_props), tz, Md),
+    in_specs.append(pl.BlockSpec((1, tz, (2 + len(d_props)) * Md),
                                  dest_map))
     for p in d_const_list:
         c = jnp.asarray(dest_store[p]).reshape(1, -1)
@@ -1536,7 +1578,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             e = jnp.where(iok, e, 0)
         if jok is not True:
             e = jnp.where(jok, e, 0)
-        return (e, 0, 0, 0)
+        return (e, 0, 0)
 
     # ---- sources -----------------------------------------------------
     inv_srcs = []
@@ -1561,9 +1603,9 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             block_ovf = block_ovf | s_ovf
             inv_srcs.append(inv_s)
             Pp = 1 + len(s_props)
-            src_metas.append((s_props, tuple(s_const_list)))
+            src_metas.append((s_props, tuple(s_const_list), Ms))
             eqs_list.append(eqs)
-            spec_blk = (1, Pp, tz, 3 * Ms)
+            spec_blk = (1, tz, Pp * 3 * Ms)
             for oy in oys:
                 for ox in oxs:
                     ins.append(s_pack)
@@ -1628,18 +1670,22 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         Pp = 1 + len(s_props)
         sent = rows_s.shape[0] - 1
         ar_p = jnp.asarray(pl_list, dtype=jnp.int32)
-        ridx = ((ar_p[None, :, None, None] * A_rows +
-                 jnp.maximum(a2 - 1, 0)[:, None]) * tz + r2[:, None])
-        ridx = jnp.where(vmask[:, None], ridx, sent)
-        got = rows_s[ridx.reshape(-1)].reshape(A_s, Pp, tz, 3, Ms)
-        s_pack = got.reshape(A_s, Pp, tz, 3 * Ms)
+        # lane-folded ordering (A_s, tz, Pp, 3): lanes of the pack are
+        # (plane, z-offset, slot) so each DMA block is one contiguous
+        # (tz, Pp * 3Ms) row run
+        ridx = ((ar_p[None, None, :, None] * A_rows +
+                 jnp.maximum(a2 - 1, 0)[:, :, None, :]) * tz +
+                r2[:, :, None, :])
+        ridx = jnp.where(vmask[:, :, None, :], ridx, sent)
+        got = rows_s[ridx.reshape(-1)]
+        s_pack = got.reshape(A_s, tz, Pp * 3 * Ms)
         s_pack = jnp.concatenate(
             [jnp.zeros((1,) + s_pack.shape[1:], s_pack.dtype),
              s_pack], axis=0)                  # reserved entry 0
         src_store._spack_cache = (version, cache_key, s_props, inv_s,
                                   s_pack, s_ovf)
 
-        spec_blk = (1, Pp, tz, 3 * Ms)
+        spec_blk = (1, tz, Pp * 3 * Ms)
         for oy in oys:
             for ox in oxs:
                 ins.append(s_pack)
@@ -1651,13 +1697,13 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             c = jnp.asarray(src_store[p]).reshape(1, -1)
             ins.append(c)
             in_specs.append(pl.BlockSpec(c.shape, const_map))
-        src_metas.append((s_props, tuple(s_const_list)))
+        src_metas.append((s_props, tuple(s_const_list), Ms))
         eqs_list.append(eqs)
 
     Po = len(out_props)
     Po_out = Po + 1 if any_union else Po
-    out_spec = pl.BlockSpec((1, Po_out, tz, Md), dest_map)
-    out_shape = jax.ShapeDtypeStruct((A_max, Po_out, tz, Md), fdt)
+    out_spec = pl.BlockSpec((1, tz, Po_out * Md), dest_map)
+    out_shape = jax.ShapeDtypeStruct((A_max, tz, Po_out * Md), fdt)
 
     meta = (tz, Md, oys, oxs, tuple(d_props), tuple(d_const_list),
             tuple(src_metas), tuple(out_props), dict(rec.out_ops),
@@ -1676,14 +1722,17 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
                         for _ in range(n_scratch)])
     outp = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=interpret)(bi, bj, bz, na_pf, *inv_srcs, *ins)
+        interpret=interpret,
+        **_compiler_kwargs(pltpu))(bi, bj, bz, na_pf, *inv_srcs,
+                                   *ins)
     window_ovf = jnp.asarray(False)
     if any_union:
         # blocks beyond na never run _writeback: their planes hold
         # uninitialized garbage/NaN and must be masked out
         act = jnp.arange(A_max, dtype=jnp.int32)[:, None, None] < na
-        window_ovf = jnp.max(jnp.where(act, outp[:, Po], 0.0)) > 0.0
-        outp = outp[:, :Po]
+        window_ovf = jnp.max(jnp.where(
+            act, outp[:, :, Po * Md:(Po + 1) * Md], 0.0)) > 0.0
+        outp = outp[:, :, :Po * Md]
 
     # ---- fold outputs straight back to flat particle order ----------
     # every active particle's block is dest-active by construction, so
@@ -1701,9 +1750,11 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     a_p = inv_d[(ix * ny + jy) * n_zt + iz // tz] - 1
     ok = has_slot & (a_p >= 0)
     r_p = iz % tz
-    # (A_max, Po, tz, Md) -> rows of Po per compact slot
+    # (A_max, tz, Po * Md) lanes are (plane, slot) -> rows of Po per
+    # compact slot
     out_rows = jax.lax.optimization_barrier(
-        outp.transpose(0, 2, 3, 1).reshape(-1))
+        outp.reshape(A_max, tz, Po, Md).transpose(0, 1, 3, 2)
+        .reshape(-1))
     row_of = ((jnp.maximum(a_p, 0) * tz + r_p) * Md + m_p)
     vals = out_rows.reshape(A_max * tz * Md, Po)[row_of]  # (cap, Po)
     vals_t = jax.lax.optimization_barrier(vals.T.reshape(-1))
