@@ -18,6 +18,22 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
+# Persistent compilation cache: the fast tier is dominated by jit
+# compiles of full solver steps on the 8-device mesh (measured 12+ min
+# cold); with the cache warm it drops under ~4 min.  Keyed by backend,
+# so the CPU-mesh test compiles never collide with TPU runs.
+_cache_dir = os.environ.get(
+    'PYSPH_TPU_TEST_CACHE',
+    os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update(
+    'jax_persistent_cache_min_entry_size_bytes', -1)
+# jax-level cache only: the XLA:CPU AOT sub-cache re-checks host CPU
+# features against its own pseudo-features (prefer-no-scatter) and
+# spams SIGILL warnings on reload
+jax.config.update('jax_persistent_cache_enable_xla_caches', 'none')
+
 from pysph_tpu.config import get_config  # noqa: E402
 
 get_config().use_double = True
