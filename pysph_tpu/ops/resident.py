@@ -1,0 +1,1201 @@
+"""Resident-pack execution: particle state lives in the pallas pack
+layout between re-binnings.
+
+Round-2 profiling showed the eval was dominated by *rebuilding* the
+kernel's compact packs from flat particle arrays every evaluation
+(~16 ms of a 36.6 ms dam_break_3d eval: the (rows, P) gathers, barrier
+transposes and (A, tz, P*M) pack gathers of ops/pallas_engine.py, paid
+twice per step), even though the binning itself is reused Verlet-style
+for many steps.  This module inverts the data residency:
+
+- at (re)binning time, each array's state is packed ONCE into a
+  lane-folded *pencil* pack ``(1 + A, R, P*M)`` over the active (x, y)
+  pencils (entry 0 reserved all-zero; R = z-extent padded to the
+  sublane multiple; plane p of pencil a's z-row r lives in lanes
+  [p*M, (p+1)*M));
+- integrator stages and per-particle equation phases run elementwise
+  directly on the pack planes (empty slots are masked);
+- pair phases DMA the resident packs straight into the pallas kernel
+  (dest block = its own pencil; sources = the 9 (ox, oy) neighbor
+  pencils via an inverse map; the 3 z-offsets are assembled in-kernel
+  with static sublane shifts instead of the old pre-rolled 3*Ms HBM
+  lane-concat);
+- flat (cap,)-shaped arrays are re-materialized only at host sync
+  points (output dumps, restarts, overflow redo) and at re-binning.
+
+The flat state dicts the Solver carries become *stale* for pack props
+between sync points; ``materialize`` folds the packs back.  Pack
+shapes are static (active-pencil cap = GridSpec.block_fracs), so the
+whole arrangement scans/jits cleanly; exceeding a cap raises the same
+``block_overflow`` redo path as the compact engine.
+
+Eligibility is deliberately conservative (``plan_resident``): one
+acceleration eval, no distributed manager, no mirror ghosts, no
+iterated/conditional/update_nnps groups, no reduce/initialize_pair/
+loop_all, unstrided props only, and every pair phase must trace for
+the pallas engine.  Anything else transparently falls back to the
+SlotStore path.
+
+Reference parity note: this changes only the execution layout, not the
+math — the same Equation.loop bodies trace inside the kernel via the
+machinery of ops/pallas_engine.py (recording pass, PlanePairContext,
+delta-subtraction accumulation, write masks ref
+sph/acceleration_eval_cython.mako:22-131).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from pysph_tpu.ops.pallas_engine import (
+    _SYM_DEPS, _XYZH, PallasIneligible, PlanePairContext, _KernelRunner,
+    _compiler_kwargs, _left_pack, _pack_from_rows, _pad_up, _record,
+    _rows_matrix, _run_eqs)
+from pysph_tpu.sph.equation import Group, _method_args
+
+
+class PackState(NamedTuple):
+    """One array's resident pack (all leaves traced; static geometry
+    lives in the ResidentPlan)."""
+    pack: jnp.ndarray      # (1 + A, R, P*M) fdt; entry 0 all-zero
+    pid: jnp.ndarray       # (1 + A, R, M) int32 particle idx, -1 empty
+    inv: jnp.ndarray       # (nx*ny,) int32 pencil -> entry idx (0=none)
+    ref: jnp.ndarray       # (1 + A, R, 3*M) x/y/z snapshot at binning
+    n_a: jnp.ndarray       # () int32 active pencils
+    ovf: jnp.ndarray       # () bool pencil-cap overflow
+
+
+jax.tree_util.register_pytree_node(
+    PackState, lambda p: (tuple(p), None),
+    lambda _, c: PackState(*c))
+
+
+class ArrayPlan(object):
+    """Static pack geometry + plane assignment for one array."""
+
+    __slots__ = ('name', 'M', 'A', 'planes', 'n_src', 'consts',
+                 'dtype')
+
+    def __init__(self, name, M, A, planes, n_src, consts, dtype):
+        self.name = name
+        self.M = M                  # slots per cell
+        self.A = A                  # active-pencil cap
+        # plane 0 is the slot mask; planes[i] names plane 1 + i.  The
+        # first n_src planes (after the mask) are the source-read
+        # segment: source views DMA only lanes [0, (1 + n_src) * M).
+        self.planes = planes
+        self.n_src = n_src
+        self.consts = consts
+        self.dtype = dtype
+
+    def plane_idx(self, prop):
+        return 1 + self.planes.index(prop)
+
+
+def _kernel_geom(spec):
+    """(nx, ny, nz, R, kper, swapped): kernel axes after the 1D/2D
+    swap (rows = the longest trailing axis), R = nz padded to 8."""
+    nx, ny, nz = spec.dims
+    per = spec.periodic
+    kper = tuple(per[d] and spec.dims[d] >= 3 for d in range(3))
+    swapped = nz == 1
+    if swapped:
+        ny, nz = 1, ny
+        kper = (kper[0], kper[2], kper[1])
+    R = max(8, _pad_up(nz, 8))
+    return nx, ny, nz, R, kper, swapped
+
+
+# ---------------------------------------------------------------------------
+# Planning / eligibility
+# ---------------------------------------------------------------------------
+class ResidentPlan(object):
+    """Static plan: array plans + per-group pair plans for one
+    AccelerationEval."""
+
+    def __init__(self, a_eval):
+        self.a_eval = a_eval
+        self.arrays = {}            # name -> ArrayPlan
+        self.group_plans = []       # [(group, [(dest, phases, rec)])]
+        self._build(a_eval)
+
+    # -- eligibility ---------------------------------------------------
+    def _build(self, a_eval):
+        from pysph_tpu.sph.acceleration_eval import SlotStore  # noqa
+        spec = a_eval.grid_spec
+        if spec is None:
+            raise PallasIneligible('no grid spec')
+        nx, ny, nz, R, kper, swapped = _kernel_geom(spec)
+        if R > 512:
+            raise PallasIneligible('z extent too tall for pencils')
+        for d in range(spec.dim):
+            if spec.periodic[d] and spec.dims[d] == 2:
+                raise PallasIneligible('periodic axis with 2 cells')
+        dom = a_eval.domain
+        if dom is not None and getattr(dom, 'is_mirror', False):
+            raise PallasIneligible('mirror ghosts mutate particle sets')
+
+        touched = {n: set() for n in a_eval.arrays_used}
+        src_read = {n: set() for n in a_eval.arrays_used}
+
+        def note(name, props):
+            if name in touched:
+                touched[name].update(props)
+
+        groups = a_eval.groups
+        for group in groups:
+            self._check_group(group)
+        for eq in a_eval._iter_equations():
+            if hasattr(eq, 'py_initialize'):
+                raise PallasIneligible('py_initialize')
+            if getattr(eq, 'reduce', None) is not None:
+                raise PallasIneligible('reduce()')
+            if getattr(eq, 'initialize_pair', None) is not None:
+                raise PallasIneligible('initialize_pair')
+            if getattr(eq, 'loop_all', None) is not None:
+                raise PallasIneligible('loop_all')
+            if getattr(eq, 'converged', None) is not None:
+                raise PallasIneligible('converged()')
+            for fname in ('initialize', 'loop', 'post_loop'):
+                fn = getattr(eq, fname, None)
+                if fn is None:
+                    continue
+                for arg in _method_args(fn):
+                    if arg in ('d_idx', 's_idx', 't', 'dt',
+                               'SPH_KERNEL', 'D_PIDX', 'PAIR_MASK',
+                               'NBRS', 'N_NBRS'):
+                        continue
+                    if arg.startswith('d_'):
+                        note(eq.dest, (arg[2:],))
+                    elif arg.startswith('s_'):
+                        for s in (eq.sources or ()):
+                            note(s, (arg[2:],))
+                            if fname == 'loop' and s in src_read:
+                                src_read[s].add(arg[2:])
+                    elif arg in _SYM_DEPS:
+                        note(eq.dest, _SYM_DEPS[arg])
+                        for s in (eq.sources or ()):
+                            note(s, _SYM_DEPS[arg])
+                            if s in src_read:
+                                src_read[s].update(_SYM_DEPS[arg])
+
+        # pair phases always need positions + h for masks/windows
+        for n in touched:
+            touched[n].update(_XYZH + ('tag',))
+            src_read[n].update(_XYZH)
+
+        # stepper stages (bound later by the integrator) are noted by
+        # the integrator via note_stepper_props before first use
+        self.touched = touched
+        self.src_read = src_read
+        self.spec = spec
+        self.geom = (nx, ny, nz, R, kper, swapped)
+
+    @staticmethod
+    def _check_group(group):
+        if group.condition is not None or group.iterate or \
+                group.update_nnps:
+            raise PallasIneligible('conditional/iterated/update_nnps '
+                                   'group')
+        if group.pre is not None or group.post is not None:
+            raise PallasIneligible('host pre/post callables')
+        start = getattr(group, 'start_idx', 0)
+        if start not in (0, None) or \
+                getattr(group, 'stop_idx', None) is not None:
+            raise PallasIneligible('start/stop idx group')
+        for item in group.equations:
+            if isinstance(item, Group):
+                ResidentPlan._check_group(item)
+
+    def finish(self, schemas, stepper_props, states):
+        """Assign plane orders once stepper props are known."""
+        nx, ny, nz, R, kper, swapped = self.geom
+        spec = self.spec
+        for name in self.a_eval.arrays_used:
+            schema = schemas[name]
+            props = (self.touched[name] |
+                     stepper_props.get(name, set())) - \
+                set(schema.consts)
+            # adaptive-dt control props are read by
+            # Integrator.compute_time_step against the pack-shaped
+            # active mask; fold them in even when no equation writes
+            # them
+            props |= {p for p in ('dt_adapt', 'dt_cfl', 'dt_force',
+                                  'dt_visc')
+                      if p in schema.props and p not in schema.consts}
+            for p in props:
+                if schema.strides.get(p, 1) != 1:
+                    raise PallasIneligible('strided prop %r' % p)
+            fdt = states[name]['x'].dtype
+            for p in props:
+                if states[name][p].dtype != fdt:
+                    # integer props ride as fdt planes (values are
+                    # small ints; f32 is exact to 2^24)
+                    if not (jnp.issubdtype(states[name][p].dtype,
+                                           jnp.integer) or
+                            states[name][p].dtype == jnp.bool_):
+                        raise PallasIneligible(
+                            'mixed float dtype prop %r' % p)
+            srcs = sorted((self.src_read[name] | set(_XYZH)) -
+                          set(schema.consts))
+            rest = sorted(props - set(srcs))
+            planes = tuple(srcs + rest)
+            M = spec.capacity_for(name)
+            B = nx * ny
+            frac = spec.block_frac_for(name)
+            A = min(B, int(np.ceil(frac * B)) + 8) if frac < 1.0 \
+                else B
+            self.arrays[name] = ArrayPlan(
+                name, M, A, planes, len(srcs),
+                tuple(sorted(schema.consts)), fdt)
+
+    def int_planes(self, name, state):
+        """Props whose flat dtype is integer/bool (stored as fdt
+        planes; cast back on fold).  ``state`` is the one array's
+        flat state dict."""
+        ap = self.arrays[name]
+        out = {}
+        for p in ap.planes:
+            d = state[p].dtype
+            if jnp.issubdtype(d, jnp.integer) or d == jnp.bool_:
+                out[p] = d
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Build / fold
+# ---------------------------------------------------------------------------
+def _active_pencils(layout, M, nx, ny, nz, A):
+    """Activity-sorted pencil ids + inverse map (entry 0 reserved)."""
+    C = nx * ny * nz
+    occ = jnp.any(layout.slot_mask.reshape(nx * ny, nz * M), axis=1)
+    n_a = jnp.sum(occ.astype(jnp.int32))
+    order = jnp.argsort(~occ).astype(jnp.int32)[:A]
+    ar = jnp.arange(A, dtype=jnp.int32)
+    last = order[jnp.clip(n_a - 1, 0, A - 1)]
+    ids = jnp.where(ar < n_a, order, last)
+    sids = jnp.where(ar < n_a, order, nx * ny)
+    inv = jnp.zeros(nx * ny, jnp.int32).at[sids].set(
+        ar + 1, mode='drop')
+    return ids, inv, n_a, n_a > A
+
+
+def build_pack(plan, name, state, layout):
+    """Pack one array's flat state into its resident pencil pack."""
+    ap = plan.arrays[name]
+    nx, ny, nz, R, kper, swapped = plan.geom
+    M, A = ap.M, ap.A
+    fdt = ap.dtype
+    ids, inv, n_a, ovf = _active_pencils(layout, M, nx, ny, nz, A)
+    # per-entry rows: cell indices per (pencil, z-row)
+    ar_r = jnp.arange(R, dtype=jnp.int32)
+    zok = ar_r < nz
+    cell = ids[:, None] * nz + jnp.minimum(ar_r, nz - 1)[None, :]
+    s2p = layout.slot_to_particle.reshape(nx * ny * nz, M)
+    p_idx = jnp.where(zok[None, :, None], s2p[cell], -1)  # (A, R, M)
+    # padding entries repeat the last active pencil; blank them so no
+    # particle appears in two pack rows (fold/reductions stay exact)
+    ent_ok = jnp.arange(A, dtype=jnp.int32) < n_a
+    p_idx = jnp.where(ent_ok[:, None, None], p_idx, -1)
+
+    cap = state['x'].shape[0]
+    ones = jnp.ones((cap,), fdt)
+    cols = [ones] + [jnp.asarray(state[p], fdt) for p in ap.planes]
+    rows = _rows_matrix(cols, p_idx)
+    pack = _pack_from_rows(rows, range(1 + len(ap.planes)), A, R, M)
+    pack = jnp.concatenate(
+        [jnp.zeros((1,) + pack.shape[1:], pack.dtype), pack], axis=0)
+    pid = jnp.concatenate(
+        [jnp.full((1, R, M), -1, jnp.int32), p_idx], axis=0)
+    xi = ap.plane_idx('x') - 1
+    yi = ap.plane_idx('y') - 1
+    zi = ap.plane_idx('z') - 1
+    ref = jnp.concatenate(
+        [pack[:, :, (1 + xi) * M:(2 + xi) * M],
+         pack[:, :, (1 + yi) * M:(2 + yi) * M],
+         pack[:, :, (1 + zi) * M:(2 + zi) * M]], axis=-1)
+    return PackState(pack=pack, pid=pid, inv=inv, ref=ref,
+                     n_a=jnp.minimum(n_a, A), ovf=ovf)
+
+
+def build_packs(plan, states, handle):
+    return {name: build_pack(plan, name, states[name],
+                             handle.layouts[name])
+            for name in plan.a_eval.arrays_used}
+
+
+def fold_pack(plan, name, pack_state, state):
+    """Fold a resident pack back into the flat state dict."""
+    ap = plan.arrays[name]
+    M = ap.M
+    P = 1 + len(ap.planes)
+    A1, R, _ = pack_state.pack.shape
+    # (A1, R, P*M) -> per-slot rows of P values
+    rows = jax.lax.optimization_barrier(
+        pack_state.pack.reshape(A1, R, P, M).transpose(0, 1, 3, 2)
+        .reshape(-1))
+    rows = rows.reshape(A1 * R * M, P)
+    pid = pack_state.pid.reshape(-1)
+    cap = state['x'].shape[0]
+    # particle -> row: scatter the row index by pid (empty slots have
+    # pid = -1; route them OOB so mode='drop' discards them — a plain
+    # clip would alias -1 onto the last particle)
+    sidx = jnp.where(pid >= 0, pid, cap + 1)
+    row_of = jnp.full((cap + 1,), 0, jnp.int32).at[sidx].set(
+        jnp.arange(A1 * R * M, dtype=jnp.int32), mode='drop')
+    ok = jnp.full((cap + 1,), False).at[sidx].set(
+        True, mode='drop')
+    vals = rows[row_of[:cap]]                       # (cap, P)
+    vals_t = jax.lax.optimization_barrier(vals.T.reshape(-1))
+    out = dict(state)
+    okc = ok[:cap]
+    ints = plan.int_planes(name, state)
+    for pi, p in enumerate(ap.planes):
+        col = vals_t[(1 + pi) * cap:(2 + pi) * cap]
+        old = state[p]
+        if p in ints:
+            col = jnp.round(col).astype(old.dtype)
+        else:
+            col = col.astype(old.dtype)
+        out[p] = jnp.where(okc, col, old)
+    return out
+
+
+def materialize(plan, states, packs):
+    out = dict(states)
+    for name, ps in packs.items():
+        out[name] = fold_pack(plan, name, ps, states[name])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Elementwise store over a pack
+# ---------------------------------------------------------------------------
+class PackStore(object):
+    """Dict-like store exposing pack planes as flattened
+    ``(A1*R*M,)`` arrays, so `_bind_particle_phase`/steppers run
+    unchanged.  Writes are lazy; ``finalize_pack`` rebuilds the
+    lane-folded pack in one concat pass."""
+
+    def __init__(self, plan, name, pack_state, state):
+        self.plan = plan
+        self.ap = plan.arrays[name]
+        self.name = name
+        self.ps = pack_state
+        self.flat = state            # consts / n_act / untouched props
+        self._consts = set(self.ap.consts) | {'n_act'}
+        self.cache = {}
+        self.dirty = set()
+
+    def __contains__(self, key):
+        return key in self.ap.planes or key in self.flat
+
+    def particle_index(self):
+        """Slot-row -> particle index (D_PIDX in flat phases)."""
+        return self.ps.pid.reshape(-1)
+
+    @property
+    def layout(self):
+        """Adapter for ArrayView._to_slot (cross-particle gathers):
+        particle index -> flattened pack row."""
+        if getattr(self, '_layout', None) is None:
+            cap = self.flat['x'].shape[0]
+            pid = self.ps.pid.reshape(-1)
+            n_rows = pid.shape[0]
+            p2s = jnp.full((cap,), n_rows, jnp.int32).at[
+                jnp.where(pid >= 0, pid, cap + 1)].set(
+                jnp.arange(n_rows, dtype=jnp.int32), mode='drop')
+
+            class _L(object):
+                particle_to_slot = p2s
+            self._layout = _L()
+        return self._layout
+
+    def keys(self):
+        ks = set(self.ap.planes)
+        ks.update(self.flat.keys())
+        return ks
+
+    def _plane(self, pi):
+        M = self.ap.M
+        return self.ps.pack[:, :, pi * M:(pi + 1) * M].reshape(-1)
+
+    @property
+    def slot_maskf(self):
+        return self._plane(0)
+
+    def active_mask(self):
+        return self._plane(0) > 0.0
+
+    def __getitem__(self, key):
+        if key in self._consts or key not in self.ap.planes:
+            return self.flat[key]
+        if key not in self.cache:
+            self.cache[key] = self._plane(self.ap.plane_idx(key))
+        return self.cache[key]
+
+    def __setitem__(self, key, value):
+        if key in self._consts or key not in self.ap.planes:
+            self.flat[key] = value
+            return
+        self.cache[key] = value
+        self.dirty.add(key)
+
+    def finalize_pack(self):
+        """Fold dirty planes back into the lane-folded pack array."""
+        if not self.dirty:
+            return self.ps
+        A1, R, _ = self.ps.pack.shape
+        M = self.ap.M
+        parts = [self.ps.pack[:, :, 0:M]]
+        for pi, p in enumerate(self.ap.planes):
+            if p in self.dirty:
+                v = jnp.asarray(self.cache[p], self.ap.dtype)
+                v = v.reshape(A1, R, M)
+                # empty slots must stay exactly zero (entry 0 is the
+                # reserved zero block; masks rely on it)
+                v = v * self.ps.pack[:, :, 0:M]
+                parts.append(v)
+            else:
+                parts.append(
+                    self.ps.pack[:, :, (1 + pi) * M:(2 + pi) * M])
+        pack = jnp.concatenate(parts, axis=-1)
+        self.ps = self.ps._replace(pack=pack)
+        self.dirty = set()
+        self.cache = {}
+        return self.ps
+
+    def update_planes(self, new_cols):
+        """Replace planes wholesale from {prop: (A1, R, M) array}."""
+        for p, v in new_cols.items():
+            self.cache[p] = v.reshape(-1)
+            self.dirty.add(p)
+        return self.finalize_pack()
+
+
+# ---------------------------------------------------------------------------
+# The resident pair kernel
+# ---------------------------------------------------------------------------
+class _RkMeta(NamedTuple):
+    R: int
+    nz: int
+    kper: tuple
+    swapped: bool
+    Md: int
+    d_planes: tuple        # prop names, pack plane order
+    d_const_list: tuple
+    src_metas: tuple       # (name, planes, n_src, M, const_list, K)
+    out_props: tuple
+    out_ops: tuple         # dict as tuple of pairs
+    oys: tuple
+    oxs: tuple
+    real: bool
+    cz: int
+    interp: bool
+
+
+def _zshift(v, oz, nz, R, wrap, interpret=False):
+    """Rows r of the result hold rows r + oz of ``v`` (logical length
+    nz; pad rows beyond nz stay zero).
+
+    Mosaic cannot concatenate sublane slices with mismatched offsets
+    ("result/input offset mismatch on non-concat dimension"), so the
+    shift is a hardware rotate (``pltpu.roll``) plus elementwise
+    edge-row fixes; interpret mode (no Mosaic) uses ``jnp.roll``."""
+    if oz == 0:
+        return v
+    if interpret:
+        rolled = jnp.roll(v, -oz, axis=0)
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        rolled = pltpu.roll(v, (R - oz) % R, 0)
+    if wrap and nz == R:
+        return rolled                  # pure cyclic shift
+    iota = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    edge = nz - 1 if oz == 1 else 0
+    if wrap:
+        # the edge row receives the wrap row (row 0 for oz=+1, row
+        # nz-1 for oz=-1); selected reduce + broadcast avoids the
+        # odd-sublane-offset slice Mosaic rejects
+        src = 0 if oz == 1 else nz - 1
+        sel = (iota == src).astype(v.dtype)
+        edge_vals = jnp.broadcast_to(
+            jnp.sum(v * sel, axis=0, keepdims=True), v.shape)
+        out = jnp.where(iota == edge, edge_vals, rolled)
+    else:
+        out = jnp.where(iota == edge, jnp.zeros_like(v), rolled)
+    if R > nz:
+        out = jnp.where(iota < nz, out, jnp.zeros_like(v))
+    return out
+
+
+def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
+                          meta, *refs):
+    """One program per active dest pencil; sources are the 9 (oy, ox)
+    neighbor-pencil resident packs; z-offsets are assembled in-kernel
+    with static sublane shifts (no pre-rolled HBM copies).  Each
+    source runs either as a union-compacted window phase (wide
+    sources) or 9 per-offset phases (small ones)."""
+    (R, nz, kper, swapped, Md, d_planes, d_const_list, src_metas,
+     out_props, out_ops_t, oys, oxs, real, cz, interp) = meta
+    out_ops = dict(out_ops_t)
+    it = iter(refs)
+    bi_ref = next(it)
+    bj_ref = next(it)
+    na_ref = next(it)
+    for _ in src_metas:
+        next(it)                     # inverse pencil maps
+    scal = next(it)                  # (1, 8): t, dt, origin, widths
+    d_ref = next(it)                 # (1, R, (1 + Pd) * Md)
+    d_consts = {('d', p): next(it)[0] for p in d_const_list}
+    srcs = []
+    for (sname, planes, n_src, Ms, const_list, K) in src_metas:
+        s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
+        s_consts = {('s', p): next(it)[0] for p in const_list}
+        srcs.append((s_ref, planes, n_src, Ms, s_consts, const_list,
+                     K))
+    out_ref = next(it)               # (1, R, Po(+1) * Md)
+    scratch = [next(it) for _ in out_props]
+    exc_scratch = None
+    if any(s[6] is not None for s in srcs):
+        exc_scratch = next(it)
+
+    t = scal[0, 0]
+    dt = scal[0, 1]
+    a = pl.program_id(0)
+    valid = a < na_ref[0]
+
+    dfold = d_ref[0]
+    dmaskf = dfold[:, 0:Md]
+    dcols = {}
+    for pi, p in enumerate(d_planes):
+        dcols[p] = dfold[:, (1 + pi) * Md:(2 + pi) * Md]
+    if real:
+        wmf = dmaskf * jnp.where(dcols['tag'] == 0.0, 1.0, 0.0)
+    else:
+        wmf = dmaskf
+    occ = valid & (jnp.sum(wmf) > 0.0)
+
+    @pl.when(valid)
+    def _init_scratch():
+        neutral = {'sum': 0.0, 'max': -jnp.inf, 'min': jnp.inf}
+        for po, prop in enumerate(out_props):
+            scratch[po][...] = jnp.full(
+                scratch[po].shape, neutral[out_ops[prop]],
+                scratch[po].dtype)
+        if exc_scratch is not None:
+            exc_scratch[...] = jnp.zeros(exc_scratch.shape,
+                                         exc_scratch.dtype)
+
+    def _strip27(si, pi):
+        """(R, 27*Ms) lane-concat of plane ``pi`` over the full
+        stencil: 9 (oy, ox) views x 3 z-shifts, in a fixed order."""
+        (s_ref, planes, n_src, Ms, _sc, _scl, _K) = srcs[si]
+        cols = []
+        for oy in oys:
+            for ox in oxs:
+                v = s_ref[(oy, ox)][0][:, pi * Ms:(pi + 1) * Ms]
+                for oz in (-1, 0, 1) if nz > 1 else (0,):
+                    cols.append(_zshift(v, oz, nz, R, kper[2],
+                                        interp))
+        return jnp.concatenate(cols, axis=-1)
+
+    def _union_window(si):
+        """Distance-prune + left-pack the stencil window of source
+        ``si`` (same prune semantics as pallas_engine._union_windows:
+        exact distance to the dest pencil-cell AABB is a conservative
+        superset of every per-pair max(hi, hj) support test)."""
+        (s_ref, planes, n_src, Ms, _sc, _scl, K) = srcs[si]
+        fdt = d_ref.dtype
+        wmask = _strip27(si, 0)
+        C = wmask.shape[-1]
+        K = min(K, C)
+        ix = planes.index('x')
+        iy = planes.index('y')
+        iz = planes.index('z')
+        ih = planes.index('h')
+        wx = _strip27(si, 1 + ix)
+        wy = _strip27(si, 1 + iy)
+        wz = _strip27(si, 1 + iz)
+        wh = _strip27(si, 1 + ih)
+        o_i, o_j, o_z = scal[0, 2], scal[0, 3], scal[0, 4]
+        w_i, w_j, w_z = scal[0, 5], scal[0, 6], scal[0, 7]
+        cc_i = o_i + (bi_ref[a].astype(fdt) + 0.5) * w_i
+        cc_j = o_j + (bj_ref[a].astype(fdt) + 0.5) * w_j
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        cc_z = o_z + (iota_r.astype(fdt) + 0.5) * w_z
+        if swapped:
+            dxp = wx - cc_i
+            dyp = wy - cc_z
+            dzp = jnp.zeros_like(dxp)
+            hx, hy, hz = 0.5 * w_i, 0.5 * w_z, None
+        else:
+            dxp = wx - cc_i
+            dyp = wy - cc_j
+            dzp = wz - cc_z
+            hx, hy, hz = 0.5 * w_i, 0.5 * w_j, 0.5 * w_z
+        if domain is not None and domain.is_periodic:
+            dxp, dyp, dzp = domain.minimum_image(dxp, dyp, dzp)
+        d2 = jnp.maximum(jnp.abs(dxp) - hx, 0.0) ** 2 + \
+            jnp.maximum(jnp.abs(dyp) - hy, 0.0) ** 2
+        if hz is not None:
+            d2 = d2 + jnp.maximum(jnp.abs(dzp) - hz, 0.0) ** 2
+        hrow = jnp.max(dcols['h'] * dmaskf, axis=-1, keepdims=True)
+        sup = radius_scale * jnp.maximum(hrow, wh)
+        flag = jnp.where((d2 <= sup * sup) & (wmask > 0.0),
+                         1, 0).astype(jnp.int32)
+        n_keep = 1 + n_src
+        if K >= C:
+            ff = flag.astype(fdt)
+            pk = {p: _strip27(si, 1 + pi)
+                  for pi, p in enumerate(planes[:n_src])}
+            return pk, ff * wmask, jnp.zeros((R, 1), fdt)
+        vals = [wmask] + [_strip27(si, 1 + pi)
+                          for pi in range(n_src)]
+        packed, count = _left_pack(flag, vals, K)
+        excess = jnp.maximum(count - K, 0).astype(fdt)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+        pmaskf = jnp.where(k_iota < count, 1.0, 0.0).astype(fdt)
+        pk = {p: packed[1 + pi] * pmaskf
+              for pi, p in enumerate(planes[:n_src])}
+        return pk, pmaskf * packed[0], excess
+
+    def _run_rows(eqs, dcols_c, dm_c, scat, smf, consts, planes,
+                  const_list, out_idx, sl):
+        runner = _KernelRunner(dcols_c, scat, dm_c, smf, consts)
+        ctx = PlanePairContext(
+            runner, kernel_obj, domain, radius_scale,
+            set(d_const_list), set(const_list))
+        runner.ctx = ctx
+        _run_eqs(eqs, ctx, t, dt)
+        for prop, (op, val) in runner.acc.items():
+            sref = scratch[out_idx[prop]]
+            cur = sref[sl, :]
+            if op == 'sum':
+                sref[sl, :] = cur + val
+            elif op == 'max':
+                sref[sl, :] = jnp.maximum(cur, val)
+            else:
+                sref[sl, :] = jnp.minimum(cur, val)
+
+    @pl.when(occ)
+    def _compute():
+        out_idx = {p: po for po, p in enumerate(out_props)}
+        for si, ((s_ref, planes, n_src, Ms, s_consts, s_const_list,
+                  K), eqs) in enumerate(zip(srcs, eqs_list)):
+            consts = {}
+            consts.update(d_consts)
+            consts.update(s_consts)
+            if K is None:
+                # per-offset phases (small sources)
+                for oy in oys:
+                    for ox in oxs:
+                        ref = s_ref[(oy, ox)]
+                        sm0 = ref[0][:, 0:Ms]
+                        src_any = jnp.sum(sm0) > 0.0
+
+                        def _phase(ref=ref, planes=planes, Ms=Ms,
+                                   eqs=eqs, sm0=sm0):
+                            strips = {}
+
+                            def strip3(pi):
+                                if pi not in strips:
+                                    v = ref[0][:, pi * Ms:
+                                               (pi + 1) * Ms]
+                                    if nz > 1:
+                                        strips[pi] = jnp.concatenate(
+                                            [_zshift(v, oz, nz, R,
+                                                     kper[2], interp)
+                                             for oz in (-1, 0, 1)],
+                                            axis=-1)
+                                    else:
+                                        strips[pi] = v
+                                return strips[pi]
+
+                            smf = strip3(0)
+
+                            def scat(prop):
+                                return strip3(
+                                    1 + planes.index(prop))
+
+                            for r0 in range(0, R, cz):
+                                sl = slice(r0, r0 + cz)
+                                dm_c = dmaskf[sl]
+                                ch_any = jnp.sum(wmf[sl]) > 0.0
+
+                                def _chunk(sl=sl, dm_c=dm_c,
+                                           smf=smf, scat=scat):
+                                    dc = {p: dcols[p][sl]
+                                          for p in d_planes}
+                                    _run_rows(
+                                        eqs, dc, dm_c,
+                                        lambda p, sl=sl:
+                                        scat(p)[sl],
+                                        smf[sl], consts, planes,
+                                        s_const_list, out_idx, sl)
+
+                                pl.when(ch_any)(_chunk)
+
+                        pl.when(src_any)(_phase)
+                continue
+
+            # union-window phase
+            tot = None
+            for oy in oys:
+                for ox in oxs:
+                    m = jnp.sum(s_ref[(oy, ox)][0][:, 0:Ms])
+                    tot = m if tot is None else tot + m
+            src_any = tot > 0.0
+
+            def _uphase(si=si, planes=planes, eqs=eqs,
+                        s_const_list=s_const_list, consts=consts):
+                pk, pmaskf, excess = _union_window(si)
+                exc_scratch[...] = jnp.maximum(
+                    exc_scratch[...],
+                    jnp.broadcast_to(excess, exc_scratch.shape))
+                for r0 in range(0, R, cz):
+                    sl = slice(r0, r0 + cz)
+                    ch_any = jnp.sum(wmf[sl]) > 0.0
+
+                    def _chunk(sl=sl):
+                        dc = {p: dcols[p][sl] for p in d_planes}
+                        _run_rows(
+                            eqs, dc, dmaskf[sl],
+                            lambda p, sl=sl: pk[p][sl],
+                            pmaskf[sl], consts, planes,
+                            s_const_list, out_idx, sl)
+
+                    pl.when(ch_any)(_chunk)
+
+            pl.when(src_any)(_uphase)
+
+    @pl.when(valid)
+    def _writeback():
+        for po, prop in enumerate(out_props):
+            op = out_ops[prop]
+            cur = dcols[prop]
+            val = scratch[po][...]
+            if op == 'sum':
+                new = cur + wmf * val
+            elif op == 'max':
+                new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
+            else:
+                new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
+            out_ref[0, :, po * Md:(po + 1) * Md] = new
+        if exc_scratch is not None:
+            Po_ = len(out_props)
+            out_ref[0, :, Po_ * Md:(Po_ + 1) * Md] = exc_scratch[...]
+
+
+# ---------------------------------------------------------------------------
+# Launcher
+# ---------------------------------------------------------------------------
+def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
+                     domain, radius_scale, real, t, dt, geometry,
+                     interpret=None):
+    """Run the fused pair phases of one dest on the resident packs.
+
+    ``phases``: [(src_name, eqs)]; ``stores``: {name: PackStore}.
+    Returns overflow-flag dict; accumulated outputs are merged into
+    the dest PackStore's pack in place."""
+    import os
+    nx, ny, nz, R, kper, swapped = plan.geom
+    dstore = stores[dest_name]
+    dap = plan.arrays[dest_name]
+    Md = dap.M
+    fdt = dap.dtype
+    dps = dstore.finalize_pack()
+    out_props = list(rec.out_ops)
+    d_const_list = sorted(rec.d_consts)
+
+    oys = (0,) if ny == 1 else (-1, 0, 1)
+    oxs = (0,) if nx == 1 else (-1, 0, 1)
+    n_oxy = len(oys) * len(oxs)
+    n_oz = 3 if nz > 1 else 1
+    spec = plan.spec
+
+    # VMEM row-chunk height for the pair blocks
+    n_temps = int(os.environ.get('PYSPH_TPU_VMEM_TEMPS', '50'))
+
+    src_metas = []
+    eqs_list = []
+    inv_srcs = []
+    ins = []
+    in_specs = []
+    window_any = False
+
+    # scalars: t, dt, kernel-axis origin/widths for the AABB prune
+    origin_g, widths_g = geometry
+    if swapped:
+        gvals = [origin_g[0], jnp.zeros((), fdt), origin_g[1],
+                 widths_g[0], jnp.ones((), fdt), widths_g[1]]
+    else:
+        gvals = [origin_g[0], origin_g[1], origin_g[2],
+                 widths_g[0], widths_g[1], widths_g[2]]
+    tdt = [jnp.asarray(t, fdt), jnp.asarray(dt, fdt)] + \
+        [jnp.asarray(v, fdt) for v in gvals]
+    scal = jnp.stack(tdt).reshape(1, len(tdt))
+    const_map = lambda a, *r: (0, 0)  # noqa: E731
+    dest_map = lambda a, *r: (a + 1, 0, 0)  # noqa: E731
+    ins.append(scal)
+    in_specs.append(pl.BlockSpec((1, len(tdt)), const_map))
+
+    # dest block: mask + ALL planes (the kernel needs tag + pre-phase
+    # values of the out props; reading the full pack block keeps one
+    # DMA descriptor)
+    Pd = len(dap.planes)
+    ins.append(dps.pack)
+    in_specs.append(pl.BlockSpec((1, R, (1 + Pd) * Md), dest_map))
+    for p in d_const_list:
+        c = jnp.asarray(dstore.flat[p]).reshape(1, -1)
+        ins.append(c)
+        in_specs.append(pl.BlockSpec(c.shape, const_map))
+
+    def smap(a, bi_, bj_, na_, *invs, ox=0, oy=0, si=0):
+        i2 = bi_[a] + ox
+        j2 = bj_[a] + oy
+        if kper[0]:
+            i2 = jax.lax.rem(i2 + jnp.int32(nx), jnp.int32(nx))
+            iok = True
+        else:
+            iok = (i2 >= 0) & (i2 <= nx - 1)
+        if kper[1]:
+            j2 = jax.lax.rem(j2 + jnp.int32(ny), jnp.int32(ny))
+            jok = True
+        else:
+            jok = (j2 >= 0) & (j2 <= ny - 1)
+        flat = jnp.clip(i2, 0, nx - 1) * ny + jnp.clip(j2, 0, ny - 1)
+        e = invs[si][flat]
+        if iok is not True:
+            e = jnp.where(iok, e, 0)
+        if jok is not True:
+            e = jnp.where(jok, e, 0)
+        return (e, 0, 0)
+
+    env_u = os.environ.get('PYSPH_TPU_UNION', 'auto')
+    dname = dest_name
+    block_ovf = dps.ovf
+    Kmax = 0
+    for src_name, eqs in phases:
+        sstore = stores[src_name]
+        sap = plan.arrays[src_name]
+        sps = sstore.finalize_pack()
+        block_ovf = block_ovf | sps.ovf
+        Ms = sap.M
+        n_src = sap.n_src
+        inv_srcs.append(sps.inv)
+        # union decision (mirrors pallas_engine)
+        C_s = n_oxy * n_oz * Ms
+        K = None
+        if env_u != '0':
+            pair_key = '%s<-%s' % (dname, src_name)
+            Kc = spec.window_cap_for(pair_key)
+            if Kc == 0:
+                Kc = spec.window_cap_for(src_name)
+            if Kc == 0:
+                Kc = _pad_up(max(128, int(0.72 * C_s)), 128)
+            Kc = min(Kc, _pad_up(C_s, 128))
+            if env_u == '1' or n_oxy * _pad_up(n_oz * Ms, 128) >= \
+                    Kc + 256:
+                spec.window_caps.setdefault(pair_key, Kc)
+                K = Kc
+                window_any = True
+                Kmax = max(Kmax, K)
+        # source views DMA only the src segment
+        spec_blk = (1, R, (1 + n_src) * Ms)
+        for oy in oys:
+            for ox in oxs:
+                ins.append(sps.pack)
+                in_specs.append(pl.BlockSpec(
+                    spec_blk,
+                    functools.partial(smap, ox=ox, oy=oy,
+                                      si=len(inv_srcs) - 1)))
+        s_const_list = sorted(
+            set(rec.sources[len(src_metas)][1]))
+        for p in s_const_list:
+            c = jnp.asarray(sstore.flat[p]).reshape(1, -1)
+            ins.append(c)
+            in_specs.append(pl.BlockSpec(c.shape, const_map))
+        src_metas.append((src_name, sap.planes[:n_src], n_src, Ms,
+                          tuple(s_const_list), K))
+        eqs_list.append(eqs)
+
+    width = max(Kmax, max(n_oz * plan.arrays[s].M
+                          for s, _ in phases))
+    row_b = (n_temps * _pad_up(Md, 8) * _pad_up(width, 128) *
+             np.dtype(fdt).itemsize)
+    cz = max(1, min(R, int(12e6 // row_b)))
+    cz_env = os.environ.get('PYSPH_TPU_UNION_CZ')
+    if cz_env:
+        cz = max(1, min(R, int(cz_env)))
+    while R % cz:
+        cz -= 1
+
+    Po = len(out_props)
+    Po_out = Po + 1 if window_any else Po
+    out_spec = pl.BlockSpec((1, R, Po_out * Md), dest_map)
+    A1 = dps.pack.shape[0]
+    out_shape = jax.ShapeDtypeStruct((A1, R, Po_out * Md), fdt)
+
+    if interpret is None:
+        interpret = jax.default_backend() not in ('tpu', 'axon')
+    meta = _RkMeta(
+        R=R, nz=nz, kper=kper, swapped=swapped, Md=Md,
+        d_planes=tuple(dap.planes), d_const_list=tuple(d_const_list),
+        src_metas=tuple(src_metas), out_props=tuple(out_props),
+        out_ops=tuple(rec.out_ops.items()), oys=oys, oxs=oxs,
+        real=real, cz=cz, interp=bool(interpret))
+    kern = functools.partial(_pair_kernel_resident, eqs_list,
+                             kernel_obj, domain, radius_scale, meta)
+    from jax.experimental.pallas import tpu as pltpu
+    n_scratch = Po + (1 if window_any else 0)
+    # pencil coords of each dest entry (entry e=a+1): recover from inv
+    # by argsort? store directly: pid rows exist but coords are
+    # cheaper via the inverse map
+    ar = jnp.arange(nx * ny, dtype=jnp.int32)
+    A = dap.A
+    # entry -> pencil id: scatter inv
+    ent_of = jnp.zeros((A + 2,), jnp.int32).at[
+        jnp.clip(dps.inv, 0, A + 1)].set(ar, mode='drop')
+    ids = ent_of[1 + jnp.arange(A, dtype=jnp.int32)]
+    bi = ids // ny
+    bj = ids % ny
+    na_pf = dps.n_a.reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3 + len(inv_srcs), grid=(A,),
+        in_specs=in_specs, out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((R, Md), fdt)
+                        for _ in range(n_scratch)])
+    outp = pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+        **_compiler_kwargs(pltpu))(bi, bj, na_pf, *inv_srcs, *ins)
+
+    window_ovf = jnp.asarray(False)
+    if window_any:
+        act = jnp.arange(A1, dtype=jnp.int32)[:, None, None] <= \
+            dps.n_a
+        act = act & (jnp.arange(A1,
+                                dtype=jnp.int32)[:, None, None] > 0)
+        window_ovf = jnp.max(jnp.where(
+            act, outp[:, :, Po * Md:(Po + 1) * Md], 0.0)) > 0.0
+        outp = outp[:, :, :Po * Md]
+
+    # merge out planes into the resident pack (unvisited entries --
+    # inactive or beyond n_a -- keep their pre-phase values)
+    act = (jnp.arange(A1, dtype=jnp.int32)[:, None, None] <=
+           dps.n_a) & (jnp.arange(A1,
+                                  dtype=jnp.int32)[:, None, None] > 0)
+    new_cols = {}
+    for po, p in enumerate(out_props):
+        pi = dap.plane_idx(p)
+        cur = dps.pack[:, :, pi * Md:(pi + 1) * Md]
+        val = outp[:, :, po * Md:(po + 1) * Md]
+        new_cols[p] = jnp.where(act, val, cur)
+    dstore.update_planes(new_cols)
+    return {'block_overflow': block_ovf,
+            'window_overflow': window_ovf}
+
+
+# ---------------------------------------------------------------------------
+# Runner: owns the plan + per-eval dispatch for one AccelerationEval
+# ---------------------------------------------------------------------------
+class ResidentRunner(object):
+    """Eligibility is decided eagerly at construction (including the
+    recording pass for every fused pair phase), so entering resident
+    mode can never fail mid-trace."""
+
+    def __init__(self, a_eval, stepper_props, states):
+        self.a_eval = a_eval
+        self.plan = ResidentPlan(a_eval)
+        self.plan.finish(a_eval.schemas, stepper_props, states)
+        self.interpret = None
+        if jax.default_backend() not in ('tpu', 'axon'):
+            self.interpret = True
+        self._recs = {}
+        # eager recording for every (group, dest) fused phase
+        for group, dest, eqs_by_src in self._walk_groups():
+            phases = [(eqs, set(a_eval.schemas[s].consts))
+                      for s, eqs in eqs_by_src]
+            if not any(eqs for eqs, _consts in phases):
+                continue
+            rec = _record(
+                phases, a_eval.kernel, a_eval.domain,
+                a_eval.grid_spec.radius_scale,
+                set(a_eval.schemas[dest].consts))
+            for p in rec.out_ops:
+                if p in self.plan.int_planes(dest, states[dest]):
+                    raise PallasIneligible(
+                        'pair accumulation into integer prop %r' % p)
+            self._recs[(id(group), dest)] = rec
+
+    def _walk_groups(self, groups=None):
+        """Yield (group, dest, [(src, loop_eqs)]) in execution
+        order."""
+        from collections import OrderedDict
+        a_eval = self.a_eval
+        for group in (groups if groups is not None else a_eval.groups):
+            subs = [it for it in group.equations
+                    if isinstance(it, Group)]
+            if subs:
+                for item in self._walk_groups(subs):
+                    yield item
+                continue
+            dests = OrderedDict()
+            for eq in group.equations:
+                dests.setdefault(eq.dest, []).append(eq)
+            for dest, eqs in dests.items():
+                sources = OrderedDict()
+                for eq in eqs:
+                    if getattr(eq, 'loop', None) is None:
+                        continue
+                    for src in (eq.sources or ()):
+                        sources.setdefault(src, []).append(eq)
+                yield group, dest, list(sources.items())
+
+    # -- state management ---------------------------------------------
+    def prepare(self, states):
+        handle, diag = self.a_eval.prepare(states)
+        packs = build_packs(self.plan, states, handle)
+        for ps in packs.values():
+            diag = dict(diag)
+            diag['block_overflow'] = \
+                diag.get('block_overflow', jnp.asarray(False)) | ps.ovf
+        return handle, packs, diag
+
+    def ensure_fresh(self, states, handle, packs):
+        """Verlet-style reuse on pack positions; rebuild = fold to
+        flat, re-bin, re-pack (all traced; lax.cond)."""
+        spec = self.a_eval.grid_spec
+        plan = self.plan
+        fdt = next(iter(states.values()))['x'].dtype
+        hmax = jnp.zeros((), fdt)
+        disp2 = jnp.zeros((), fdt)
+        dom = self.a_eval.domain
+        for name, ps in packs.items():
+            ap = plan.arrays[name]
+            M = ap.M
+            maskf = ps.pack[:, :, 0:M]
+            hx = ps.pack[:, :, ap.plane_idx('h') * M:
+                         (ap.plane_idx('h') + 1) * M]
+            hmax = jnp.maximum(hmax, jnp.max(hx * maskf))
+            dx = ps.pack[:, :, ap.plane_idx('x') * M:
+                         (ap.plane_idx('x') + 1) * M] - \
+                ps.ref[:, :, 0:M]
+            dy = ps.pack[:, :, ap.plane_idx('y') * M:
+                         (ap.plane_idx('y') + 1) * M] - \
+                ps.ref[:, :, M:2 * M]
+            dz = ps.pack[:, :, ap.plane_idx('z') * M:
+                         (ap.plane_idx('z') + 1) * M] - \
+                ps.ref[:, :, 2 * M:3 * M]
+            if dom is not None and dom.is_periodic:
+                dx, dy, dz = dom.minimum_image(dx, dy, dz)
+            d2 = dx * dx + dy * dy + dz * dz
+            disp2 = jnp.maximum(disp2, jnp.max(d2 * maskf))
+        margin = 0.5 * (spec.cell_slack - 1.0) * spec.radius_scale * \
+            hmax
+        cell_now = spec.cell_slack * spec.radius_scale * hmax
+        stale = (disp2 > margin * margin) | \
+            (cell_now > jnp.min(handle.widths[:spec.dim]) * 1.0001)
+
+        from pysph_tpu.sph.acceleration_eval import empty_diag
+
+        def rebuild(args):
+            states, handle, packs = args
+            states = materialize(self.plan, states, packs)
+            handle, packs, diag = self.prepare(states)
+            return states, handle, packs, diag
+
+        def keep(args):
+            states, handle, packs = args
+            return states, handle, packs, empty_diag()
+
+        return jax.lax.cond(stale, rebuild, keep,
+                            (states, handle, packs))
+
+    # -- evaluation ----------------------------------------------------
+    def compute(self, t, dt, stores, handle):
+        """Run all groups on the PackStores (mutated in place);
+        returns the overflow-flag diag."""
+        from pysph_tpu.sph.acceleration_eval import (
+            _bind_particle_phase, empty_diag)
+        a_eval = self.a_eval
+        diag = empty_diag()
+        geometry = (handle.origin, handle.widths)
+        for group, dest, eqs_by_src in self._walk_groups():
+            store = stores[dest]
+            schema = a_eval.schemas[dest]
+            mask = store.active_mask()
+            if group.real:
+                mask = mask & (store['tag'] == 0)
+            dests_eqs = [eq for eq in group.equations
+                         if not isinstance(eq, Group) and
+                         eq.dest == dest]
+            for eq in dests_eqs:
+                fn = getattr(eq, 'initialize', None)
+                if fn is not None:
+                    _bind_particle_phase(fn, store, schema, mask, t,
+                                         dt, a_eval.kernel)
+            for eq in dests_eqs:
+                if eq.no_source:
+                    fn = getattr(eq, 'loop', None)
+                    if fn is not None:
+                        _bind_particle_phase(fn, store, schema, mask,
+                                             t, dt, a_eval.kernel)
+            rec = self._recs.get((id(group), dest))
+            if rec is not None and rec.out_ops:
+                flags = execute_resident(
+                    self.plan, eqs_by_src, dest, stores, rec,
+                    a_eval.kernel, a_eval.domain,
+                    a_eval.grid_spec.radius_scale, group.real, t, dt,
+                    geometry, interpret=self.interpret)
+                for k, v in flags.items():
+                    diag[k] = diag[k] | v
+            for eq in dests_eqs:
+                fn = getattr(eq, 'post_loop', None)
+                if fn is not None:
+                    _bind_particle_phase(fn, store, schema, mask, t,
+                                         dt, a_eval.kernel)
+        return diag
+
+
+def make_runner(a_eval, steppers, states):
+    """Build a ResidentRunner, or None when anything is ineligible.
+
+    ``steppers``: {array_name: IntegratorStep} — their stage methods'
+    d_* args become pack planes."""
+    import logging
+    import os
+    if os.environ.get('PYSPH_TPU_RESIDENT', '1') == '0':
+        return None
+    from pysph_tpu.config import get_config
+    if not get_config().use_pallas:
+        return None
+    stepper_props = {}
+    try:
+        for name, stepper in steppers.items():
+            props = set()
+            for stage in ('initialize', 'stage1', 'stage2', 'stage3',
+                          'stage4', 'stage5'):
+                fn = getattr(stepper, stage, None)
+                if fn is None:
+                    continue
+                for arg in _method_args(fn):
+                    if arg in ('d_idx', 't', 'dt', 'SPH_KERNEL',
+                               'D_PIDX'):
+                        continue
+                    if arg.startswith('d_'):
+                        props.add(arg[2:])
+                    else:
+                        raise PallasIneligible(
+                            'stepper arg %r' % arg)
+            stepper_props[name] = props
+        return ResidentRunner(a_eval, stepper_props, states)
+    except PallasIneligible as e:
+        logging.getLogger(__name__).info('resident mode off: %s', e)
+        return None

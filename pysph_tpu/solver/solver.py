@@ -154,7 +154,15 @@ class Solver(object):
 
     def _sync_to_host(self):
         if self._blob is not None:
+            # fold any resident packs first: the flat blob is stale
+            # for pack props between sync points (ops/resident.py)
+            if self._cblob is not None:
+                self._blob = self._packed['mat'](self._blob,
+                                                 self._cblob)
             self.states = self._packed['sp_unpack'](self._blob)
+        elif self._nnps_carry is not None and \
+                getattr(self, '_mat_fn', None) is not None:
+            self.states = self._mat_fn(self.states, self._nnps_carry)
         for pa in self.particles:
             pa.update_from_device(
                 jax.tree_util.tree_map(np.asarray, self.states[pa.name]))
@@ -165,15 +173,20 @@ class Solver(object):
         def step(states, t, dt, carry):
             return integrator.step(states, t, dt, carry)
 
-        def adapt(states, dt):
-            return integrator.compute_time_step(states, dt, self.cfl)
+        def adapt(states, dt, carry):
+            return integrator.compute_time_step(states, dt, self.cfl,
+                                                carry)
 
         def init_accel(states, t, dt):
             return integrator.initial_acceleration(states, t, dt)
 
+        def mat(states, carry):
+            return integrator.materialize_states(states, carry)
+
         self._step_fn = jax.jit(step)
         self._adapt_fn = jax.jit(adapt)
         self._init_accel_fn = jax.jit(init_accel)
+        self._mat_fn = jax.jit(mat)
         self._nnps_carry = None
         self._packed = None
         self._blob = None
@@ -200,9 +213,15 @@ class Solver(object):
                                       cp_unpack(cblob))
             return sp_pack(s2), dp_pack(diag), cp_pack(c2)
 
-        def adaptp(blob, dt):
-            return integ.compute_time_step(sp_unpack(blob), dt,
-                                           self.cfl)
+        def adaptp(blob, dt, cblob):
+            return integ.compute_time_step(
+                sp_unpack(blob), dt, self.cfl,
+                cp_unpack(cblob) if cblob is not None else None)
+
+        def matp(blob, cblob):
+            states = integ.materialize_states(sp_unpack(blob),
+                                              cp_unpack(cblob))
+            return sp_pack(states)
 
         # K steps per dispatch: the host pays one scalar fetch per
         # chunk instead of one (or two) ~28 ms round trips per step.
@@ -250,7 +269,8 @@ class Solver(object):
                 th2 = t2
                 if adaptive:
                     raw = jnp.asarray(integ.compute_time_step(
-                        sp_unpack(blob), dt, cfl), dt.dtype)
+                        sp_unpack(blob), dt, cfl,
+                        cp_unpack(cblob)), dt.dtype)
                 else:
                     raw = dt
                 rem = t_stop - (th2 + tl2)
@@ -294,6 +314,8 @@ class Solver(object):
             'dp_unpack': dp_unpack,
             'step': jax.jit(stepp),
             'adapt': jax.jit(adaptp),
+            'mat': jax.jit(matp),
+            'cp_unpack': jax.jit(cp_unpack),
             'chunk': jax.jit(chunkp),
         }
 
@@ -304,6 +326,15 @@ class Solver(object):
 
     def _exit_packed(self):
         if self._blob is not None:
+            if self._cblob is not None:
+                self._blob = self._packed['mat'](self._blob,
+                                                 self._cblob)
+                # _nnps_carry froze at _enter_packed time; the live
+                # carry (with current resident packs) is in _cblob.
+                # A stale carry here would re-materialize old packs
+                # over the fresh states at the next sync.
+                self._nnps_carry = self._packed['cp_unpack'](
+                    self._cblob)
             self.states = self._packed['sp_unpack'](self._blob)
             self._blob = None
             self._cblob = None
@@ -529,8 +560,12 @@ class Solver(object):
                 if self._check_overflow(diag):
                     # grow capacities, re-jit, and redo the step from
                     # the saved pre-step state so no neighbors are
-                    # dropped.
-                    self.states = pre_states
+                    # dropped.  Resident packs in the pre-step carry
+                    # are the canonical state: fold them before the
+                    # carry is invalidated by the regrown grid.
+                    self.states = self._mat_fn(pre_states,
+                                               self._nnps_carry) \
+                        if self._nnps_carry is not None else pre_states
                     self._handle_overflow(diag)
                     new_states, diag, carry = self._step_fn(
                         self.states, self.t, self.dt,
@@ -626,10 +661,11 @@ class Solver(object):
             import jax.numpy as jnp
             if self._blob is not None:
                 dt = float(self._packed['adapt'](
-                    self._blob, jnp.asarray(undamped)))
+                    self._blob, jnp.asarray(undamped), self._cblob))
             else:
                 dt = float(self._adapt_fn(
-                    self.states, jnp.asarray(undamped)))
+                    self.states, jnp.asarray(undamped),
+                    self._nnps_carry))
             return dt
         return undamped
 

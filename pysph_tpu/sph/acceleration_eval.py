@@ -82,7 +82,11 @@ def check_equation_array_properties(equation, schemas):
 
 
 def _active_mask(store):
-    """Active mask for a *flat* state dict (steppers etc.)."""
+    """Active mask for a *flat* state dict (steppers etc.) or a
+    pack-backed store (resident mode: occupancy IS activity)."""
+    am = getattr(store, 'active_mask', None)
+    if am is not None:
+        return am() if callable(am) else am
     cap = store['x'].shape[0]
     return jnp.arange(cap, dtype=jnp.int32) < store['n_act']
 
@@ -625,8 +629,11 @@ def _bind_particle_phase(method, store, schema, write_mask, t, dt,
         elif arg == 'SPH_KERNEL':
             kwargs[arg] = kernel
         elif arg == 'D_PIDX':
+            pidx = getattr(store, 'particle_index', None)
             layout = getattr(store, 'layout', None)
-            if layout is None:
+            if pidx is not None:
+                kwargs[arg] = pidx() if callable(pidx) else pidx
+            elif layout is None:
                 # flat stores (FlatView / stepper dicts): the row
                 # index IS the particle index
                 n = store['x'].shape[0]

@@ -23,6 +23,33 @@ import jax.numpy as jnp
 from pysph_tpu.sph.acceleration_eval import (
     _active_mask, _bind_particle_phase)
 
+# Resident packs ride the nnps carry under a negative int key (jax
+# pytree dicts sort their keys, so the key type must match the int
+# handle keys; eval index i -> PACKS_KEY - i).
+PACKS_KEY = -1
+
+
+class _PackActiveState(object):
+    """State-dict shim over a resident PackStore for the adaptive-dt
+    reductions: pack planes where present, flat leftovers otherwise,
+    and an ``active_mask`` honored by ``_active_mask``."""
+
+    def __init__(self, store, flat):
+        self._store = store
+        self._flat = flat
+
+    def __getitem__(self, key):
+        if key in self._store.ap.planes:
+            return self._store[key]
+        return self._flat[key]
+
+    def __contains__(self, key):
+        return key in self._store.ap.planes or key in self._flat
+
+    @property
+    def active_mask(self):
+        return self._store.active_mask()
+
 
 class Integrator(object):
     def __init__(self, **steppers):
@@ -41,6 +68,10 @@ class Integrator(object):
         self._states = None
         self._lists = {}
         self._diag = None
+        # resident-pack mode (ops/resident.py): False = known
+        # ineligible, None = not probed yet
+        self._res_runner = None
+        self._res_stores = None
 
     # ------------------------------------------------------------------
     # Wiring (called by SPHCompiler / Solver)
@@ -52,6 +83,7 @@ class Integrator(object):
 
     def set_nnps(self, grid_spec):
         self.finder = grid_spec
+        self._res_runner = None       # static sizes changed: re-probe
         for a_eval in self.acceleration_evals or ():
             a_eval.set_nnps(grid_spec)
 
@@ -96,7 +128,9 @@ class Integrator(object):
             nnps_carry
         self._carry_out = dict(self._carry_in or {})
         self._diag = self._fresh_diag()
+        self._enter_resident()
         self.one_timestep(t, dt)
+        self._exit_resident()
         states, diag = self._states, self._diag
         carry = self._carry_out if self.parallel_manager is None else None
         self._states = None
@@ -114,8 +148,11 @@ class Integrator(object):
         self._carry_in = None
         self._carry_out = {}
         self._diag = self._fresh_diag()
+        self._res_stores = None
+        self._res_checked = False
         self._refresh_mirror_ghosts()
         self.compute_accelerations(0, update_nnps=True)
+        self._exit_resident()
         states, diag = self._states, self._diag
         carry = self._carry_out
         self._states = None
@@ -139,10 +176,118 @@ class Integrator(object):
         mirroring reference sph/integrator.py:274-281."""
         self.parallel_manager = pm
 
+    # ------------------------------------------------------------------
+    # Resident-pack mode (ops/resident.py)
+    # ------------------------------------------------------------------
+    def _resident_runner(self):
+        """The ResidentRunner for single-eval setups (built lazily;
+        False caches ineligibility)."""
+        if self._res_runner is not None:
+            return self._res_runner or None
+        if (self.parallel_manager is not None or
+                len(self.acceleration_evals or ()) != 1 or
+                self._states is None):
+            return None
+        from pysph_tpu.ops.resident import make_runner
+        self._res_runner = make_runner(
+            self.acceleration_evals[0], self.steppers,
+            self._states) or False
+        return self._res_runner or None
+
+    def _enter_resident(self):
+        """Adopt resident packs from the carry (if present)."""
+        self._res_stores = None
+        self._res_checked = False
+        runner = self._resident_runner()
+        ci = self._carry_in or {}
+        if runner is None or PACKS_KEY not in ci or 0 not in ci:
+            return
+        from pysph_tpu.ops.resident import PackStore
+        packs = ci[PACKS_KEY]
+        self._lists[0] = ci[0]
+        self._carry_out[0] = ci[0]
+        self._res_stores = {
+            name: PackStore(runner.plan, name, ps,
+                            dict(self._states[name]))
+            for name, ps in packs.items()}
+
+    def _exit_resident(self):
+        """Fold PackStore state back into the carry."""
+        if self._res_stores is None:
+            return
+        self._carry_out[PACKS_KEY] = {
+            name: store.finalize_pack()
+            for name, store in self._res_stores.items()}
+        for name, store in self._res_stores.items():
+            # non-plane props (consts, flat-only) stay canonical flat
+            self._states[name] = store.flat
+        self._res_stores = None
+
+    def materialize_states(self, states, carry):
+        """Fold any resident packs in ``carry`` into flat states
+        (pure; call at host sync points — flat states are stale for
+        pack props between them)."""
+        runner = self._res_runner
+        if (not runner or carry is None or
+                PACKS_KEY not in carry):
+            return states
+        from pysph_tpu.ops.resident import materialize
+        out = dict(states)
+        packs = carry[PACKS_KEY]
+        sub = materialize(runner.plan,
+                          {n: states[n] for n in packs}, packs)
+        out.update(sub)
+        return out
+
+    def _compute_accel_resident(self, runner, update_nnps):
+        from pysph_tpu.ops.resident import PackStore, build_packs
+        a_eval = self.acceleration_evals[0]
+        if self._res_stores is None:
+            # no packs yet: bin + pack from the (canonical) flat state
+            handle, packs, diag = runner.prepare(self._states)
+            self._merge_diag(diag)
+            self._lists[0] = handle
+            self._carry_out[0] = handle
+            self._res_stores = {
+                name: PackStore(runner.plan, name, ps,
+                                dict(self._states[name]))
+                for name, ps in packs.items()}
+        elif update_nnps and 0 in self._lists:
+            # Verlet reuse check on pack positions (first eval of the
+            # step only; later evals share the fresh binning)
+            if not getattr(self, '_res_checked', False):
+                packs = {name: store.finalize_pack()
+                         for name, store in self._res_stores.items()}
+                flats = {name: store.flat
+                         for name, store in self._res_stores.items()}
+                states = dict(self._states)
+                states.update(flats)
+                states, handle, packs, diag = runner.ensure_fresh(
+                    states, self._lists[0], packs)
+                self._merge_diag(diag)
+                self._states.update(
+                    {n: states[n] for n in packs})
+                self._lists[0] = handle
+                self._carry_out[0] = handle
+                self._res_stores = {
+                    name: PackStore(runner.plan, name, ps,
+                                    dict(states[name]))
+                    for name, ps in packs.items()}
+        self._res_checked = True
+        diag = runner.compute(self._t, self._dt, self._res_stores,
+                              self._lists[0])
+        self._merge_diag(diag)
+
     def compute_accelerations(self, index=0, update_nnps=True):
         a_eval = self.acceleration_evals[index]
         if update_nnps and self.parallel_manager is not None:
             self._states = self.parallel_manager.update(self._states)
+        if index == 0 and (self._res_stores is not None or
+                           (index not in self._lists and
+                            self._resident_runner() is not None)):
+            self._compute_accel_resident(self._resident_runner(),
+                                         update_nnps)
+            return
         if (update_nnps and self.bin_every_eval) or \
                 index not in self._lists:
             if self._carry_in is not None and index in self._carry_in:
@@ -164,8 +309,15 @@ class Integrator(object):
             return
         if self.domain.is_periodic:
             for name in list(self._states):
-                self._states[name] = self.domain.wrap_state(
-                    self._states[name])
+                if self._res_stores is not None and \
+                        name in self._res_stores:
+                    store = self._res_stores[name]
+                    x, y, z = self.domain.wrap_positions(
+                        store['x'], store['y'], store['z'])
+                    store['x'], store['y'], store['z'] = x, y, z
+                else:
+                    self._states[name] = self.domain.wrap_state(
+                        self._states[name])
         self._refresh_mirror_ghosts()
 
     def _refresh_mirror_ghosts(self):
@@ -205,10 +357,15 @@ class Integrator(object):
             fn = getattr(stepper, stage_name, None)
             if fn is None:
                 continue
-            store = dict(self._states[arr_name])
-            self._states[arr_name] = store
             schema = self.schemas[arr_name]
-            mask = _active_mask(store) & (store['tag'] == 0)
+            if self._res_stores is not None and \
+                    arr_name in self._res_stores:
+                store = self._res_stores[arr_name]
+                mask = store.active_mask() & (store['tag'] == 0)
+            else:
+                store = dict(self._states[arr_name])
+                self._states[arr_name] = store
+                mask = _active_mask(store) & (store['tag'] == 0)
             _bind_particle_phase(fn, store, schema, mask, self._t,
                                  self._dt, kernel)
 
@@ -244,11 +401,22 @@ class Integrator(object):
     # ------------------------------------------------------------------
     # Adaptive timestep (traced; reference integrator.py:62-200)
     # ------------------------------------------------------------------
-    def compute_time_step(self, states, dt_current, cfl):
+    def compute_time_step(self, states, dt_current, cfl, carry=None):
         """Return the adaptive dt (traced scalar).
 
         Falls back to ``dt_current`` if no adaptive constraints exist.
-        """
+        When ``carry`` holds resident packs the dt-controlling props
+        are read from the packs (the flat states are stale for pack
+        props between sync points)."""
+        runner = self._res_runner
+        if runner and carry and PACKS_KEY in carry:
+            from pysph_tpu.ops.resident import PackStore
+            states = dict(states)
+            for name, ps in carry[PACKS_KEY].items():
+                store = PackStore(runner.plan, name, ps,
+                                  dict(states[name]))
+                states[name] = _PackActiveState(store,
+                                                states[name])
         fdt = dt_current.dtype if hasattr(dt_current, 'dtype') else \
             next(iter(states.values()))['x'].dtype
         inf = jnp.asarray(jnp.inf, dtype=fdt)

@@ -1,0 +1,138 @@
+"""Resident-pack engine (ops/resident.py) parity tests: the same runs
+with packs resident vs the legacy per-eval SlotStore path must agree
+to tight tolerances (identical math, different data residency)."""
+
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+from pysph_tpu.config import get_config
+
+
+def _run(app_cls, argv, resident):
+    old_argv = sys.argv
+    old_env = os.environ.get('PYSPH_TPU_RESIDENT')
+    tmpdir = tempfile.mkdtemp()
+    cfg = get_config()
+    old_pallas = cfg._use_pallas
+    try:
+        sys.argv = ['test']
+        os.environ['PYSPH_TPU_RESIDENT'] = '1' if resident else '0'
+        cfg.use_pallas = True      # interpret mode on the CPU backend
+        app = app_cls()
+        app.run(['-d', tmpdir, '-q', '--disable-output'] + argv)
+    finally:
+        sys.argv = old_argv
+        cfg._use_pallas = old_pallas
+        if old_env is None:
+            os.environ.pop('PYSPH_TPU_RESIDENT', None)
+        else:
+            os.environ['PYSPH_TPU_RESIDENT'] = old_env
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return {p.name: p for p in app.particles}, app
+
+
+def _compare(a, b, props=('x', 'y', 'u', 'v', 'rho', 'p'),
+             rtol=1e-10, atol=1e-10):
+    assert set(a) == set(b)
+    for name in a:
+        pa, pb = a[name], b[name]
+        n = pa.get_number_of_particles()
+        assert n == pb.get_number_of_particles()
+        for prop in props:
+            if prop not in pa.properties:
+                continue
+            va = np.asarray(pa.properties[prop])[:n]
+            vb = np.asarray(pb.properties[prop])[:n]
+            if vb.size == 0:
+                continue
+            sc = max(1.0, np.abs(vb).max())
+            np.testing.assert_allclose(
+                va / sc, vb / sc, rtol=rtol, atol=atol,
+                err_msg='%s.%s' % (name, prop))
+
+
+def test_resident_used_for_elliptical_drop():
+    """The eligibility gate must actually accept the flagship WCSPH
+    setup (guards against silent fallback making the parity test
+    vacuous)."""
+    from pysph_tpu.examples.elliptical_drop import EllipticalDrop
+    _, app = _run(EllipticalDrop, ['--nx', '10', '--max-steps', '2'],
+                  resident=True)
+    runner = app.solver.integrator._res_runner
+    assert runner not in (None, False), 'resident mode did not engage'
+
+
+def test_resident_parity_elliptical_drop():
+    from pysph_tpu.examples.elliptical_drop import EllipticalDrop
+    args = ['--nx', '10', '--max-steps', '5', '--pfreq', '1000']
+    ref, _ = _run(EllipticalDrop, args, resident=False)
+    res, _ = _run(EllipticalDrop, args, resident=True)
+    _compare(ref, res)
+
+
+def test_resident_parity_dam_break_3d():
+    """3D with solid walls + obstacle: multi-array sources, pencil
+    z-strips, union windows."""
+    from pysph_tpu.examples.dam_break_3d import DamBreak3D
+    args = ['--dx', '0.25', '--max-steps', '3', '--pfreq', '1000']
+    ref, _ = _run(DamBreak3D, args, resident=False)
+    res, _ = _run(DamBreak3D, args, resident=True)
+    _compare(ref, res, props=('x', 'y', 'z', 'u', 'v', 'w', 'rho',
+                              'p'))
+
+
+@pytest.mark.slow
+def test_resident_parity_taylor_green_periodic():
+    """Periodic wrap: in-kernel cyclic z-strips + x wrap via the
+    inverse pencil map."""
+    from pysph_tpu.examples.taylor_green import TaylorGreen
+    args = ['--nx', '12', '--max-steps', '4', '--pfreq', '1000']
+    ref, _ = _run(TaylorGreen, args, resident=False)
+    res, _ = _run(TaylorGreen, args, resident=True)
+    _compare(ref, res)
+
+
+def test_resident_restart_materializes():
+    """Dump/restart through the resident path: flat state must be
+    folded at sync points, so a resumed run matches a continuous
+    one."""
+    from pysph_tpu.examples.elliptical_drop import EllipticalDrop
+    old_argv = sys.argv
+    cfg = get_config()
+    old_pallas = cfg._use_pallas
+    d1 = tempfile.mkdtemp()
+    d2 = tempfile.mkdtemp()
+    try:
+        sys.argv = ['test']
+        os.environ['PYSPH_TPU_RESIDENT'] = '1'
+        cfg.use_pallas = True
+        common = ['--nx', '10', '--pfreq', '2', '--detailed-output',
+                  '--n-damp', '0', '--no-adaptive-timestep', '-q']
+        app1 = EllipticalDrop()
+        app1.run(['-d', d1, '--max-steps', '4'] + common)
+        import glob
+        files = sorted(glob.glob(os.path.join(d1, '*_0*.npz')) +
+                       glob.glob(os.path.join(d1, '*_0*.hdf5')))
+        app2 = EllipticalDrop()
+        app2.run(['-d', d2, '--max-steps', '4', '--restart-file',
+                  files[1]] + common)
+        from pysph_tpu.solver.output import load
+        ref = load(files[-1])['arrays']['fluid']
+        res = {p.name: p for p in app2.particles}['fluid']
+        n = ref.get_number_of_particles()
+        for prop in ('x', 'y', 'u', 'v', 'rho'):
+            np.testing.assert_allclose(
+                np.asarray(res.properties[prop])[:n],
+                np.asarray(ref.properties[prop]), rtol=1e-10,
+                atol=1e-10, err_msg=prop)
+    finally:
+        sys.argv = old_argv
+        cfg._use_pallas = old_pallas
+        os.environ.pop('PYSPH_TPU_RESIDENT', None)
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
