@@ -59,7 +59,8 @@ class GridSpec(object):
 
     def __init__(self, dim, radius_scale, dims, cell_capacity,
                  domain=None, cell_slack=1.1, capacities=None,
-                 block_fracs=None, window_caps=None):
+                 block_fracs=None, window_caps=None, h_cell=None,
+                 h_split=None, fine=None, pop_capacities=None):
         self.dim = int(dim)
         self.radius_scale = float(radius_scale)
         # Cells are slightly larger than the support radius so a binning
@@ -90,6 +91,26 @@ class GridSpec(object):
         # solver grows+re-jits, mirroring block_fracs.
         self.window_caps = {k: int(v)
                            for k, v in (window_caps or {}).items()}
+        # Stratified variable-h support (reference capability:
+        # stratified_sfc_nnps.pyx:39, z_order_nnps.pyx:579).  When the
+        # h range within the arrays is wide, binning everything at
+        # global hmax wastes ~(hmax/h)^dim candidates per fine dest.
+        # ``h_split`` splits the population: particles with
+        # h <= h_split are FINE and also live on the ``fine`` sub-grid
+        # (cells sized by h_split instead of hmax); pair phases
+        # decompose into dest_all<-src_coarse (coarse grid),
+        # dest_coarse<-src_fine (coarse grid) and fine<-fine (fine
+        # grid) — each pair covered exactly once under the symmetric
+        # max(hi, hj) support criterion.  ``pop_capacities`` holds the
+        # coarse-grid cell capacities of the sub-populations, keyed
+        # ('c'|'fc', array_name).
+        self.h_split = None if h_split is None else float(h_split)
+        self.fine = fine
+        self.pop_capacities = {k: int(v) for k, v in
+                               (pop_capacities or {}).items()}
+        # static cell size override: the fine grid's cells derive from
+        # the static h_split, not the dynamic population hmax
+        self.h_cell = None if h_cell is None else float(h_cell)
         self.domain = domain
         self.n_cells = dims[0] * dims[1] * dims[2]
         self.n_slots = self.n_cells * self.cell_capacity
@@ -108,15 +129,39 @@ class GridSpec(object):
         return self.window_caps.get(name, 0)
 
     @property
+    def stratified(self):
+        return self.h_split is not None
+
+    def pop_capacity_for(self, level, name):
+        """Coarse-grid capacity of the 'c' (coarse) or 'fc'
+        (fine-on-coarse) sub-population of ``name``."""
+        return self.pop_capacities.get(
+            (level, name), self.capacity_for(name))
+
+    @property
     def periodic(self):
         if self.domain is None:
             return (False, False, False)
         return self.domain.periodic
 
+    @staticmethod
+    def _round_cap(occ, capacity_slack):
+        """Round a measured max occupancy up to a Mosaic-friendly
+        capacity (multiple of 8 when the headroom allows, else 4)."""
+        m4 = max(4, int(-(-int(occ * capacity_slack) // 4) * 4))
+        if m4 % 8:
+            down = (m4 // 8) * 8
+            if down >= 8 and down >= occ * 1.15:
+                m4 = down
+            else:
+                m4 = -(-m4 // 8) * 8
+        return m4
+
     @classmethod
     def from_particles(cls, particle_arrays, dim, radius_scale,
                        domain=None, cell_capacity=None, pad=0.03,
-                       capacity_slack=1.3, cell_slack=1.1):
+                       capacity_slack=1.3, cell_slack=1.1,
+                       stratify='auto', stratify_ratio=3.0):
         """Size the static grid from the initial particle distribution.
 
         ``pad`` adds headroom on non-periodic axes for domain growth;
@@ -177,78 +222,70 @@ class GridSpec(object):
                 extent = max(his[d] - los[d], cell_run)
                 dims.append(int(np.ceil(
                     extent * (1 + 2 * pad) / cell_run)) + 3)
+        names = [pa.name for pa in particle_arrays
+                 if pa.get_number_of_particles() > 0]
+
+        def cell_ids(xyz, width, shift, clip_dims):
+            cs = []
+            for d in range(3):
+                if d >= dim:
+                    cs.append(np.zeros(xyz.shape[1], np.int64))
+                else:
+                    ci = np.floor((xyz[d] - los[d] + shift[d])
+                                  / width).astype(np.int64)
+                    cs.append(np.clip(ci, 0,
+                                      clip_dims[d] - 1))
+            return cs
+
+        def measure(xyz, cell_m, dims_m, dims_run, cell_r):
+            """Worst cell occupancy at the unslacked ``cell_m``
+            measurement grid plus active-(x, y, z-tile)-block fraction
+            on the runtime grid, over half-cell-shifted alignments
+            (the runtime origin is dynamic)."""
+            occ = 0
+            frac = 0.0
+            if xyz.shape[1] == 0:
+                return 0, 0.0
+            for k in range(2 ** dim):
+                shift = np.array([0.5 * cell_m * ((k >> d) & 1)
+                                  for d in range(3)])
+                cs = cell_ids(xyz, cell_m, shift, dims_m)
+                flat = ((cs[0] * dims_m[1] + cs[1]) *
+                        dims_m[2] + cs[2])
+                occ = max(occ, int(np.bincount(flat).max()))
+                # tz=8 matches the usual kernel tile; the engine's
+                # 1D/2D axis swap makes the middle axis the tiled one
+                # when nz == 1
+                cr = cell_ids(xyz, cell_r,
+                              shift * (cell_r / cell_m), dims_run)
+                tz = 8
+                if dims_run[2] == 1:
+                    blk = cr[0] * (-(-dims_run[1] // tz)) + \
+                        cr[1] // tz
+                    n_blk = dims_run[0] * -(-dims_run[1] // tz)
+                else:
+                    nzt = -(-dims_run[2] // tz)
+                    blk = (cr[0] * dims_run[1] + cr[1]) * nzt + \
+                        cr[2] // tz
+                    n_blk = dims_run[0] * dims_run[1] * nzt
+                frac = max(frac,
+                           len(np.unique(blk)) / float(n_blk))
+            return occ, frac
+
         capacities = {}
+        dims_meas = [max(1, int(np.ceil(
+            max(his[d] - los[d], cell) / cell)) + 1)
+            if d < dim else 1 for d in range(3)]
         if cell_capacity is None:
-            # Measure the worst initial cell occupancy per array.  The
-            # runtime grid origin is dynamic (it tracks the moving
-            # particle cloud, and each distributed block aligns to its
-            # own minimum), so sample several half-cell-shifted
-            # alignments and take the worst.
-            names = [pa.name for pa in particle_arrays
-                     if pa.get_number_of_particles() > 0]
+            # Measure the worst initial cell occupancy per array.
+            # Capacity M is deliberately measured at the UNSLACKED
+            # cell (see docstring); rounded to a Mosaic-friendly
+            # multiple (_round_cap).
             block_fracs = {}
-
-            def cell_ids(xyz, width, shift, clip_dims):
-                cs = []
-                for d in range(3):
-                    if d >= dim:
-                        cs.append(np.zeros(xyz.shape[1], np.int64))
-                    else:
-                        ci = np.floor((xyz[d] - los[d] + shift[d])
-                                      / width).astype(np.int64)
-                        cs.append(np.clip(ci, 0,
-                                          clip_dims[d] - 1))
-                return cs
-
-            # measurement grid for occupancy (unslacked cells)
-            dims_meas = [max(1, int(np.ceil(
-                max(his[d] - los[d], cell) / cell)) + 1)
-                if d < dim else 1 for d in range(3)]
             for name, xyz in zip(names, coords):
-                occ = 0
-                frac = 0.0
-                for k in range(2 ** dim):
-                    shift = np.array([0.5 * cell * ((k >> d) & 1)
-                                      for d in range(3)])
-                    cs = cell_ids(xyz, cell, shift, dims_meas)
-                    flat = ((cs[0] * dims_meas[1] + cs[1]) *
-                            dims_meas[2] + cs[2])
-                    occ = max(occ, int(np.bincount(flat).max()))
-                    # Active-(x, y, z-tile)-block fraction for the
-                    # sparse pallas dispatch, on the RUNTIME grid
-                    # (tz=8 matches the usual kernel tile; the
-                    # engine's 1D/2D axis swap makes the middle axis
-                    # the tiled one when nz == 1).
-                    cr = cell_ids(xyz, cell_run,
-                                  shift * (cell_run / cell), dims)
-                    tz = 8
-                    if dims[2] == 1:
-                        blk = cr[0] * (-(-dims[1] // tz)) + \
-                            cr[1] // tz
-                        n_blk = dims[0] * -(-dims[1] // tz)
-                    else:
-                        nzt = -(-dims[2] // tz)
-                        blk = (cr[0] * dims[1] + cr[1]) * nzt + \
-                            cr[2] // tz
-                        n_blk = dims[0] * dims[1] * nzt
-                    frac = max(frac,
-                               len(np.unique(blk)) / float(n_blk))
-                # Mosaic pads the dest-row (sublane) dim to a
-                # multiple of 8, so capacity between multiples is
-                # free compute-wise and a capacity just above one is
-                # pure padded waste.  Round to a multiple of 8:
-                # down when that still leaves >= 15% headroom over
-                # the measured max (the overflow grow+redo path
-                # absorbs rare spills), else up.
-                m4 = max(4, int(-(-int(occ * capacity_slack) // 4)
-                                * 4))
-                if m4 % 8:
-                    down = (m4 // 8) * 8
-                    if down >= 8 and down >= occ * 1.15:
-                        m4 = down
-                    else:
-                        m4 = -(-m4 // 8) * 8
-                capacities[name] = m4
+                occ, frac = measure(xyz, cell, dims_meas, dims,
+                                    cell_run)
+                capacities[name] = cls._round_cap(occ, capacity_slack)
                 # moderate slack: geometry spreads over time, but an
                 # overflow just doubles the cap and re-jits (amortized
                 # over production-length runs)
@@ -256,9 +293,86 @@ class GridSpec(object):
             cell_capacity = max(capacities.values())
         else:
             block_fracs = None
+
+        # -- stratified variable-h decision (reference capability:
+        # base/stratified_sfc_nnps.pyx:39, z_order_nnps.pyx:579) ----
+        h_split = None
+        fine = None
+        pop_caps = {}
+        hs = [np.asarray(pa.h)[:pa.get_number_of_particles()]
+              for pa in particle_arrays
+              if pa.get_number_of_particles() > 0]
+        hpos = np.concatenate([h[h > 0] for h in hs]) if hs else \
+            np.zeros(0)
+        hmin = float(hpos.min()) if hpos.size else hmax
+        if (stratify in ('auto', True) and block_fracs is not None
+                and hmin > 0 and hmax / hmin >= stratify_ratio):
+            h_split = float(np.sqrt(hmax * hmin))
+            cell_fs = radius_scale * h_split
+            cell_fr = cell_slack * cell_fs
+            fdims = []
+            for d in range(3):
+                if d >= dim:
+                    fdims.append(1)
+                elif per[d]:
+                    fdims.append(max(int(np.floor(
+                        domain.lengths[d] / cell_fr)), 1))
+                else:
+                    extent = max(his[d] - los[d], cell_fr)
+                    fdims.append(int(np.ceil(
+                        extent * (1 + 2 * pad) / cell_fr)) + 3)
+            n_total = sum(xyz.shape[1] for xyz in coords)
+            if int(np.prod(fdims, dtype=np.int64)) > \
+                    max(2_000_000, 64 * n_total):
+                # a fine grid this large would dominate memory; stay
+                # single-level (the overflow paths remain correct,
+                # just slower for the wide-h population)
+                h_split = None
+            else:
+                fdims_meas = [max(1, int(np.ceil(
+                    max(his[d] - los[d], cell_fs) / cell_fs)) + 1)
+                    if d < dim else 1 for d in range(3)]
+                caps_f = {}
+                fracs_f = {}
+                any_f = any_c = False
+                for name, xyz, h in zip(names, coords, hs):
+                    fm = h <= h_split
+                    xf = xyz[:, fm]
+                    xc = xyz[:, ~fm]
+                    occ_f, frac_f = measure(xf, cell_fs, fdims_meas,
+                                            fdims, cell_fr)
+                    caps_f[name] = (cls._round_cap(occ_f,
+                                                   capacity_slack)
+                                    if occ_f else 8)
+                    fracs_f[name] = (min(1.0, 1.6 * frac_f + 0.02)
+                                     if occ_f else 0.05)
+                    occ_fc, _ = measure(xf, cell, dims_meas, dims,
+                                        cell_run)
+                    occ_c, _ = measure(xc, cell, dims_meas, dims,
+                                       cell_run)
+                    pop_caps[('fc', name)] = (
+                        cls._round_cap(occ_fc, capacity_slack)
+                        if occ_fc else 4)
+                    pop_caps[('c', name)] = (
+                        cls._round_cap(occ_c, capacity_slack)
+                        if occ_c else 4)
+                    any_f = any_f or occ_f > 0
+                    any_c = any_c or occ_c > 0
+                if any_f and any_c:
+                    fine = cls(dim, radius_scale, tuple(fdims),
+                               max(caps_f.values()), domain,
+                               cell_slack=cell_slack,
+                               capacities=caps_f,
+                               block_fracs=fracs_f, h_cell=h_split)
+                else:
+                    # degenerate split (all fine or all coarse)
+                    h_split = None
+                    pop_caps = {}
         return cls(dim, radius_scale, tuple(dims), cell_capacity,
                    domain, cell_slack=cell_slack,
-                   capacities=capacities, block_fracs=block_fracs)
+                   capacities=capacities, block_fracs=block_fracs,
+                   h_split=h_split, fine=fine,
+                   pop_capacities=pop_caps)
 
     def grow(self, cells=False, extent=False, blocks=False,
              windows=False, factor=2):
@@ -283,10 +397,18 @@ class GridSpec(object):
         if cells:
             # window occupancy scales with cell occupancy
             wcaps = {k: v * factor for k, v in wcaps.items()}
+        fine = self.fine
+        if fine is not None and (cells or extent or blocks or windows):
+            fine = fine.grow(cells=cells, extent=extent, blocks=blocks,
+                             windows=windows, factor=factor)
+        pop_caps = {k: v * factor if cells else v
+                    for k, v in self.pop_capacities.items()}
         return GridSpec(self.dim, self.radius_scale, dims, M,
                         self.domain, cell_slack=self.cell_slack,
                         capacities=caps, block_fracs=fracs,
-                        window_caps=wcaps)
+                        window_caps=wcaps, h_cell=self.h_cell,
+                        h_split=self.h_split, fine=fine,
+                        pop_capacities=pop_caps)
 
     # ------------------------------------------------------------------
     def geometry(self, states):
@@ -305,6 +427,11 @@ class GridSpec(object):
             for d, c in enumerate((s['x'], s['y'], s['z'])):
                 mins[d] = jnp.minimum(mins[d], jnp.min(
                     jnp.where(act, c, big)))
+        if self.h_cell is not None:
+            # static cell size (fine sub-grid: sized by h_split, not
+            # the dynamic population hmax — membership guarantees
+            # h <= h_split at binning time)
+            hmax = jnp.asarray(self.h_cell, fdt)
         cell0 = self.cell_slack * self.radius_scale * hmax
         per = self.periodic
         origin = []
@@ -334,14 +461,20 @@ class GridLayout(NamedTuple):
     extent_overflow: jnp.ndarray    # () bool — particle outside grid
 
 
-def build_layout(spec, state, origin, widths, capacity=None):
+def build_layout(spec, state, origin, widths, capacity=None,
+                 pop_mask=None):
     """Bin one particle state onto the grid.
 
     Sort-based slot assignment (one argsort of cell keys, like the
     reference's bin+count, then rank-within-cell gives the slot).
-    ``capacity`` overrides the spec default M (per-array capacity)."""
+    ``capacity`` overrides the spec default M (per-array capacity).
+    ``pop_mask`` restricts the layout to a sub-population (stratified
+    variable-h): excluded particles are treated as inactive — they get
+    no slot and keep their flat values on fold."""
     cap = state['x'].shape[0]
     act = jnp.arange(cap, dtype=jnp.int32) < state['n_act']
+    if pop_mask is not None:
+        act = act & pop_mask
     per = spec.periodic
     coords = []
     extent_ovf = jnp.asarray(False)

@@ -724,10 +724,79 @@ class Solver(object):
                   only_real=self.output_only_real,
                   compress=self.compress_output)
 
+    def _maybe_respec(self):
+        """Adaptive re-stratification at output cadence.
+
+        The grid spec is sized from the INITIAL particle distribution,
+        but adaptive-h schemes (ADKE, MAGMA2, GSPH) widen the h range
+        over the run — sedov starts uniform and develops h-ratios > 4.
+        When the current ratio crosses the stratification threshold
+        (with hysteresis: enter at >= 4, leave below 2), or an
+        existing split went degenerate, rebuild the spec from the
+        current particles and re-jit — the same machinery as overflow
+        growth.  (Reference analog: the stratified NNPS re-levels on
+        every bin call, stratified_sfc_nnps.pyx:39.)"""
+        import os as _os
+        if _os.environ.get('PYSPH_TPU_RESPEC', '1') == '0':
+            return
+        spec = self.nnps
+        if spec is None or self.integrator.parallel_manager is not None:
+            return
+        hmin, hmax = np.inf, 0.0
+        for pa in self.particles:
+            n = pa.get_number_of_particles()
+            if n == 0:
+                continue
+            h = np.asarray(pa.h)[:n]
+            pos = h[h > 0]
+            if pos.size:
+                hmin = min(hmin, float(pos.min()))
+                hmax = max(hmax, float(pos.max()))
+        if not np.isfinite(hmin) or hmax <= 0.0:
+            return
+        ratio = hmax / hmin
+        if spec.stratified:
+            degen = not (hmin * 1.2 <= spec.h_split <= hmax / 1.2)
+            rebuild = ratio < 2.0 or degen
+            want = ratio >= 2.0
+        else:
+            rebuild = want = ratio >= 4.0
+        if not rebuild:
+            return
+        new = GridSpec.from_particles(
+            self.particles, dim=spec.dim,
+            radius_scale=spec.radius_scale, domain=spec.domain,
+            cell_slack=spec.cell_slack,
+            stratify='auto' if want else False)
+        if new.stratified == spec.stratified and not spec.stratified:
+            return      # from_particles declined (e.g. fine grid cap)
+        logger.info('grid re-specced at t=%g: stratified=%s '
+                    'h_split=%s ratio=%.2f', self.t, new.stratified,
+                    new.h_split, ratio)
+        self.nnps = new
+        self.integrator.set_nnps(new)
+        self._nnps_carry = None
+        self._make_jits()
+        # re-bin on the new spec and re-enter packed transport (same
+        # sequence as the overflow-redo path)
+        states, diag, carry = self._init_accel_fn(
+            self.states, self.t, self.dt)
+        if self._check_overflow(diag):
+            self._handle_overflow(diag)
+            states, diag, carry = self._init_accel_fn(
+                self.states, self.t, self.dt)
+        self.states = states
+        self._nnps_carry = carry
+        if self._packed_eligible():
+            self._enter_packed(carry)
+
     def _dump_output_if_needed(self):
         if abs(self.t - self.tf) < self._epsilon:
             return
         dump = self.count % self.pfreq == 0
+        if dump:
+            self._sync_to_host()
+            self._maybe_respec()
         output_at_times = self.output_at_times
         dt = self.dt
         if len(output_at_times) > 0:

@@ -225,19 +225,28 @@ class GridHandle(object):
     pytree (spec is static aux data) so it can be carried through jitted
     steps and ``lax.scan``."""
 
-    __slots__ = ('spec', 'origin', 'widths', 'layouts', 'ref_pos')
+    __slots__ = ('spec', 'origin', 'widths', 'layouts', 'ref_pos',
+                 'strata', 'fine_origin', 'fine_widths')
 
-    def __init__(self, spec, origin, widths, layouts, ref_pos):
+    def __init__(self, spec, origin, widths, layouts, ref_pos,
+                 strata=None, fine_origin=None, fine_widths=None):
         self.spec = spec
         self.origin = origin
         self.widths = widths
         self.layouts = layouts
         self.ref_pos = ref_pos
+        # stratified variable-h (spec.stratified): per-array
+        # sub-population layouts {'c': coarse-pop@coarse-grid,
+        # 'fc': fine-pop@coarse-grid, 'f': fine-pop@fine-grid}
+        self.strata = strata
+        self.fine_origin = fine_origin
+        self.fine_widths = fine_widths
 
 
 jax.tree_util.register_pytree_node(
     GridHandle,
-    lambda h: ((h.origin, h.widths, h.layouts, h.ref_pos), h.spec),
+    lambda h: ((h.origin, h.widths, h.layouts, h.ref_pos, h.strata,
+                h.fine_origin, h.fine_widths), h.spec),
     lambda spec, children: GridHandle(spec, *children))
 
 
@@ -789,11 +798,41 @@ class AccelerationEval(object):
             ref_pos[name] = jnp.stack([s['x'], s['y'], s['z']])
             cell_ovf = cell_ovf | lay.cell_overflow
             ext_ovf = ext_ovf | lay.extent_overflow
+        strata = None
+        fine_origin = fine_widths = None
+        if spec.stratified:
+            # stratified variable-h: bin the h <= h_split (FINE) and
+            # h > h_split (COARSE) sub-populations separately so pair
+            # phases can run at their natural candidate volumes
+            # (reference capability: stratified_sfc_nnps.pyx:39)
+            fspec = spec.fine
+            fine_origin, fine_widths, _fc = fspec.geometry(sub)
+            strata = {}
+            for name in self.arrays_used:
+                s = states[name]
+                fm = s['h'] <= spec.h_split
+                lc = build_layout(
+                    spec, s, origin, widths,
+                    capacity=spec.pop_capacity_for('c', name),
+                    pop_mask=~fm)
+                lfc = build_layout(
+                    spec, s, origin, widths,
+                    capacity=spec.pop_capacity_for('fc', name),
+                    pop_mask=fm)
+                lf = build_layout(
+                    fspec, s, fine_origin, fine_widths,
+                    capacity=fspec.capacity_for(name), pop_mask=fm)
+                strata[name] = {'c': lc, 'fc': lfc, 'f': lf}
+                for lay in (lc, lfc, lf):
+                    cell_ovf = cell_ovf | lay.cell_overflow
+                    ext_ovf = ext_ovf | lay.extent_overflow
         diag = empty_diag()
         diag['cell_overflow'] = cell_ovf
         diag['extent_overflow'] = ext_ovf
         return GridHandle(spec=spec, origin=origin, widths=widths,
-                          layouts=layouts, ref_pos=ref_pos), diag
+                          layouts=layouts, ref_pos=ref_pos,
+                          strata=strata, fine_origin=fine_origin,
+                          fine_widths=fine_widths), diag
 
     def prepare_reuse(self, states, handle):
         """Verlet-list reuse: keep ``handle`` if every particle has moved
@@ -826,6 +865,30 @@ class AccelerationEval(object):
         cell_now = spec.cell_slack * spec.radius_scale * hmax
         stale = (disp2 > margin * margin) | \
             (cell_now > jnp.min(handle.widths[:spec.dim]) * 1.0001)
+        if spec.stratified and handle.strata is not None:
+            # fine-layout validity: members' h must stay <= h_split
+            # (their support must fit the fine stencil) and their
+            # displacement must respect the *fine* Verlet margin
+            margin_f = 0.5 * (spec.cell_slack - 1.0) * \
+                spec.radius_scale * spec.h_split
+            hs = jnp.asarray(spec.h_split, fdt)
+            for name in self.arrays_used:
+                s = states[name]
+                lf = handle.strata[name]['f']
+                n_fs = lf.slot_to_particle.shape[0]
+                member = lf.particle_to_slot < n_fs
+                stale = stale | jnp.any(
+                    member & (s['h'] > hs))
+                ref = handle.ref_pos[name]
+                d2 = ((s['x'] - ref[0]) ** 2 + (s['y'] - ref[1]) ** 2
+                      + (s['z'] - ref[2]) ** 2)
+                if self.domain is not None and self.domain.is_periodic:
+                    dx, dy, dz = self.domain.minimum_image(
+                        s['x'] - ref[0], s['y'] - ref[1],
+                        s['z'] - ref[2])
+                    d2 = dx * dx + dy * dy + dz * dz
+                stale = stale | (jnp.max(jnp.where(member, d2, 0.0))
+                                 > margin_f * margin_f)
 
         def rebuild(_):
             return self.prepare(states)
@@ -1091,11 +1154,13 @@ class AccelerationEval(object):
             mask = mask & (pid < int(stop))
         return mask
 
-    def _pallas_plan(self, phases, store, handle):
+    def _pallas_plan(self, phases, store, spec):
         """Try to plan the (dest, sources) pair phases — fused into
         one kernel call — for the pallas engine
         (ops/pallas_engine.py); None = use the XLA path for all of
-        them.  ``phases`` is a list of (src_store, eqs)."""
+        them.  ``phases`` is a list of (src_store, eqs); ``spec`` is
+        the grid the layouts were built on (a stratification level
+        when stratified)."""
         from pysph_tpu.config import get_config
         if not getattr(get_config(), 'use_pallas', False):
             return None
@@ -1106,7 +1171,7 @@ class AccelerationEval(object):
             PallasIneligible, plan_pair_phases)
         try:
             return plan_pair_phases(
-                phases, store, handle.spec, self.kernel,
+                phases, store, spec, self.kernel,
                 self.domain, self.grid_spec.radius_scale)
         except PallasIneligible as e:
             import logging
@@ -1115,6 +1180,118 @@ class AccelerationEval(object):
                 phases[0][1][0].dest,
                 [s.schema.name for s, _ in phases], e)
             return None
+
+    # -- stratified variable-h pair dispatch ----------------------------
+    def _fold_into(self, base, eph, before):
+        """Fold an ephemeral population SlotStore's results back into
+        the base SlotStore.  Writes may land in eph's slot cache (XLA
+        pair path) or directly in eph's flat dict (the compact pallas
+        path commits through a FlatView) — finalize first, then
+        propagate every flat entry whose array identity changed since
+        ``before`` (the creation-time snapshot)."""
+        eph.finalize()
+        changed = [p for p, v in eph.flat.items()
+                   if before.get(p) is not v]
+        for p in changed:
+            base.flat[p] = eph.flat[p]
+            base.cache.pop(p, None)
+            base.dirty.discard(p)
+        if changed:
+            base._version += 1
+
+    def _eph_store(self, stores, name, layout):
+        """(store, flat-snapshot) for an ephemeral SlotStore over
+        ``name``'s current flat state on a population layout.  The
+        base store's dirty slot props are folded first so the
+        conversion sees current values."""
+        base = stores[name]
+        base.finalize()
+        store = SlotStore(base.flat, layout, self.schemas[name],
+                          slot_hint=self._slot_hints().get(name))
+        return store, dict(store.flat)
+
+    def _run_pair_launch(self, group, t, dt, store, phases, spec,
+                         geometry, fmask):
+        """One pair launch (dest SlotStore x [(src SlotStore, eqs)])
+        on ``spec``: pallas when eligible, XLA roll path otherwise."""
+        write_mask = lambda g=group, s=store: \
+            self._write_mask(g, s)  # noqa: E731
+        fused = self._pallas_plan(phases, store, spec)
+        if fused is not None:
+            self._note_block_overflow(fused.execute(
+                store, spec, write_mask, t, dt,
+                write_mask_flat=fmask, geometry=geometry))
+            return
+        wm = self._write_mask(group, store)
+        for src_store, src_eqs in phases:
+            stencil = StencilView(spec, src_store.layout)
+            ctx = GridPairContext(store, src_store, stencil,
+                                  self.kernel, self.domain,
+                                  self.grid_spec.radius_scale, wm)
+            for eq in src_eqs:
+                fn = getattr(eq, 'loop', None)
+                if fn is not None:
+                    _bind_pair_phase(fn, ctx, t, dt)
+                fn = getattr(eq, 'loop_all', None)
+                if fn is not None:
+                    _bind_pair_phase(fn, ctx, t, dt)
+
+    def _run_pair_stratified(self, group, t, dt, stores, handle,
+                             dest, sources, store, fstore, fmask):
+        """Stratified variable-h pair dispatch (reference capability:
+        base/stratified_sfc_nnps.pyx:39, z_order_nnps.pyx:579).
+
+        Each (dest, src) phase decomposes into three launches that
+        partition the pairs by population under the symmetric
+        max(hi, hj) support criterion (every pair lands in exactly
+        one):
+
+          A: all dests (main layout)    <- coarse-pop src   [coarse]
+          B: coarse-pop dests           <- fine-pop src     [coarse]
+          C: fine-pop dests             <- fine-pop src     [fine]
+
+        Coarse-pop sources always fit the 1-cell coarse stencil
+        (max(hi,hj) <= hmax); fine-fine pairs fit the fine stencil
+        (both h <= h_split).  Accumulations fold to flat between
+        launches, so +=/max/min compose exactly."""
+        schema = self.schemas[dest]
+        spec = handle.spec
+        geom_c = (handle.origin, handle.widths)
+        geom_f = (handle.fine_origin, handle.fine_widths)
+        kernel = self.kernel
+        for src, src_eqs in sources.items():
+            src_store = stores[src]
+            for eq in src_eqs:
+                fn = getattr(eq, 'initialize_pair', None)
+                if fn is not None:
+                    _bind_particle_phase(
+                        fn, fstore, schema, fmask, t, dt, kernel,
+                        src_store=FlatView(src_store)
+                        if isinstance(src_store, SlotStore)
+                        else src_store,
+                        src_schema=self.schemas[src])
+            st = handle.strata
+            # A: main dest layout <- coarse-pop src (coarse grid)
+            s_c, _ = self._eph_store(stores, src, st[src]['c'])
+            self._run_pair_launch(group, t, dt, store,
+                                  [(s_c, src_eqs)], spec, geom_c,
+                                  fmask)
+            # B: coarse-pop dest <- fine-pop src (coarse grid)
+            d_c, snap_c = self._eph_store(stores, dest,
+                                          st[dest]['c'])
+            s_fc, _ = self._eph_store(stores, src, st[src]['fc'])
+            self._run_pair_launch(group, t, dt, d_c,
+                                  [(s_fc, src_eqs)], spec, geom_c,
+                                  fmask)
+            self._fold_into(store, d_c, snap_c)
+            # C: fine-pop dest <- fine-pop src (fine grid)
+            d_f, snap_f = self._eph_store(stores, dest,
+                                          st[dest]['f'])
+            s_f, _ = self._eph_store(stores, src, st[src]['f'])
+            self._run_pair_launch(group, t, dt, d_f,
+                                  [(s_f, src_eqs)], spec.fine, geom_f,
+                                  fmask)
+            self._fold_into(store, d_f, snap_f)
 
     def _run_group_once(self, group, t, dt, stores, handle):
         if group.has_subgroups:
@@ -1168,6 +1345,12 @@ class AccelerationEval(object):
                 write_mask = lambda g=group, s=store: \
                     self._write_mask(g, s)  # noqa: E731
 
+            if sources and is_slot and handle.strata is not None:
+                self._run_pair_stratified(
+                    group, t, dt, stores, handle, dest, sources,
+                    store, fstore, fmask)
+                sources = OrderedDict()
+
             # Fuse all of this dest's sources into ONE pallas call
             # when possible: launch overhead, dest DMA and output
             # accumulation are paid once instead of per source.
@@ -1179,7 +1362,7 @@ class AccelerationEval(object):
                 fused = self._pallas_plan(
                     [(stores[src], src_eqs)
                      for src, src_eqs in sources.items()],
-                    store, handle)
+                    store, handle.spec)
             if fused is not None:
                 self._note_block_overflow(fused.execute(
                     store, handle.spec, write_mask, t, dt,
@@ -1190,7 +1373,7 @@ class AccelerationEval(object):
             for src, src_eqs in sources.items():
                 src_store = stores[src]
                 plan = self._pallas_plan([(src_store, src_eqs)],
-                                         store, handle)
+                                         store, handle.spec)
                 for eq in src_eqs:
                     fn = getattr(eq, 'initialize_pair', None)
                     if fn is not None:
