@@ -129,6 +129,8 @@ class ResidentPlan(object):
         spec = a_eval.grid_spec
         if spec is None:
             raise PallasIneligible('no grid spec')
+        if getattr(spec, 'stratified', False):
+            raise PallasIneligible('stratified variable-h grid')
         nx, ny, nz, R, kper, swapped = _kernel_geom(spec)
         if R > 512:
             raise PallasIneligible('z extent too tall for pencils')
@@ -446,35 +448,39 @@ class PackStore(object):
         self.dirty.add(key)
 
     def finalize_pack(self):
-        """Fold dirty planes back into the lane-folded pack array."""
+        """Fold dirty planes back into the lane-folded pack array.
+
+        Lane-range ``.at[].set`` updates, not a concat rebuild: XLA
+        lowers the 29-plane lane-concat to a strided re-gather that
+        measured ~23 GB/s (3.5 ms for the 41 MB dam_break_3d fluid
+        pack); in-place dynamic-update-slices copy once and fuse."""
         if not self.dirty:
             return self.ps
         A1, R, _ = self.ps.pack.shape
         M = self.ap.M
-        parts = [self.ps.pack[:, :, 0:M]]
-        for pi, p in enumerate(self.ap.planes):
-            if p in self.dirty:
-                v = jnp.asarray(self.cache[p], self.ap.dtype)
-                v = v.reshape(A1, R, M)
-                # empty slots must stay exactly zero (entry 0 is the
-                # reserved zero block; masks rely on it)
-                v = v * self.ps.pack[:, :, 0:M]
-                parts.append(v)
-            else:
-                parts.append(
-                    self.ps.pack[:, :, (1 + pi) * M:(2 + pi) * M])
-        pack = jnp.concatenate(parts, axis=-1)
+        maskf = self.ps.pack[:, :, 0:M]
+        pack = self.ps.pack
+        for p in sorted(self.dirty):
+            pi = self.ap.plane_idx(p)
+            v = jnp.asarray(self.cache[p], self.ap.dtype)
+            # empty slots must stay exactly zero (entry 0 is the
+            # reserved zero block; masks rely on it)
+            v = v.reshape(A1, R, M) * maskf
+            pack = pack.at[:, :, pi * M:(pi + 1) * M].set(v)
         self.ps = self.ps._replace(pack=pack)
         self.dirty = set()
         self.cache = {}
         return self.ps
 
-    def update_planes(self, new_cols):
-        """Replace planes wholesale from {prop: (A1, R, M) array}."""
-        for p, v in new_cols.items():
-            self.cache[p] = v.reshape(-1)
-            self.dirty.add(p)
-        return self.finalize_pack()
+    def adopt_pack(self, ps, out_props):
+        """Replace the resident pack wholesale (the pair kernel wrote
+        the full dest block back); drop cached planes the kernel
+        changed."""
+        self.ps = ps
+        for p in out_props:
+            self.cache.pop(p, None)
+            self.dirty.discard(p)
+
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +539,13 @@ def _zshift(v, oz, nz, R, wrap, interpret=False):
     return out
 
 
+# Trace-time bisection knob for kernel-internal profiling (see
+# PERF_NOTES):  '' = normal, 'floor' = DMA+writeback only,
+# 'window' = window build but no pair compute, 'nochunk' = pair
+# compute without the per-chunk dest gating.
+_DEBUG = ''
+
+
 def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                           meta, *refs):
     """One program per active dest pencil; sources are the 9 (oy, ox)
@@ -549,6 +562,7 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
     na_ref = next(it)
     for _ in src_metas:
         next(it)                     # inverse pencil maps
+    next(it)                         # dest entry list (index maps)
     scal = next(it)                  # (1, 8): t, dt, origin, widths
     d_ref = next(it)                 # (1, R, (1 + Pd) * Md)
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
@@ -558,10 +572,13 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         s_consts = {('s', p): next(it)[0] for p in const_list}
         srcs.append((s_ref, planes, n_src, Ms, s_consts, const_list,
                      K))
-    out_ref = next(it)               # (1, R, Po(+1) * Md)
+    out_ref = next(it)      # (1, R, (1 + Pd) * Md), aliased to d_ref
+    exc_ref = None
+    if any(s[6] is not None for s in srcs):
+        exc_ref = next(it)  # (1, R, Md) window-overflow excess
     scratch = [next(it) for _ in out_props]
     exc_scratch = None
-    if any(s[6] is not None for s in srcs):
+    if exc_ref is not None:
         exc_scratch = next(it)
 
     t = scal[0, 0]
@@ -684,6 +701,8 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
 
     @pl.when(occ)
     def _compute():
+        if _DEBUG == 'floor':
+            return
         out_idx = {p: po for po, p in enumerate(out_props)}
         for si, ((s_ref, planes, n_src, Ms, s_consts, s_const_list,
                   K), eqs) in enumerate(zip(srcs, eqs_list)):
@@ -757,6 +776,14 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                 exc_scratch[...] = jnp.maximum(
                     exc_scratch[...],
                     jnp.broadcast_to(excess, exc_scratch.shape))
+                if _DEBUG == 'window':
+                    # consume the packed window so it isn't DCE'd
+                    tot = jnp.sum(pmaskf, axis=-1, keepdims=True)
+                    for v in pk.values():
+                        tot = tot + jnp.sum(v, axis=-1, keepdims=True)
+                    s0 = scratch[0]
+                    s0[...] = s0[...] + jnp.broadcast_to(tot, s0.shape)
+                    return
                 for r0 in range(0, R, cz):
                     sl = slice(r0, r0 + cz)
                     ch_any = jnp.sum(wmf[sl]) > 0.0
@@ -775,6 +802,13 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
 
     @pl.when(valid)
     def _writeback():
+        # full-block writeback: copy the untouched planes through and
+        # overwrite the accumulated ones, so the output IS the new
+        # resident pack (the buffer is aliased to the input; entries
+        # no program visits — the reserved zero entry, blanks past
+        # n_a — keep their prior content).  This replaced an XLA-side
+        # lane-merge + pack rebuild that measured ~23 GB/s.
+        out_ref[0, :, :] = dfold
         for po, prop in enumerate(out_props):
             op = out_ops[prop]
             cur = dcols[prop]
@@ -785,10 +819,10 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                 new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
             else:
                 new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
-            out_ref[0, :, po * Md:(po + 1) * Md] = new
-        if exc_scratch is not None:
-            Po_ = len(out_props)
-            out_ref[0, :, Po_ * Md:(Po_ + 1) * Md] = exc_scratch[...]
+            pi = 1 + d_planes.index(prop)
+            out_ref[0, :, pi * Md:(pi + 1) * Md] = new
+        if exc_ref is not None:
+            exc_ref[0, :, :] = exc_scratch[...]
 
 
 # ---------------------------------------------------------------------------
@@ -840,7 +874,11 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
         [jnp.asarray(v, fdt) for v in gvals]
     scal = jnp.stack(tdt).reshape(1, len(tdt))
     const_map = lambda a, *r: (0, 0)  # noqa: E731
-    dest_map = lambda a, *r: (a + 1, 0, 0)  # noqa: E731
+    # dest entry per program via the prefetched entry list (programs
+    # are source-proximity-filtered and compacted; padding programs
+    # repeat the last entry so consecutive equal block indices skip
+    # the re-DMA)
+    dest_map = lambda a, *r: (r[-1][a], 0, 0)  # noqa: E731
     ins.append(scal)
     in_specs.append(pl.BlockSpec((1, len(tdt)), const_map))
 
@@ -936,10 +974,21 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
         cz -= 1
 
     Po = len(out_props)
-    Po_out = Po + 1 if window_any else Po
-    out_spec = pl.BlockSpec((1, R, Po_out * Md), dest_map)
+    Pd_full = 1 + len(dap.planes)
     A1 = dps.pack.shape[0]
-    out_shape = jax.ShapeDtypeStruct((A1, R, Po_out * Md), fdt)
+    # full-block writeback: the output IS the new resident pack
+    # (replaces an XLA-side lane-merge + pack rebuild that measured
+    # ~23 GB/s).  NOT buffer-aliased to the input: for self-source
+    # phases (fluid<-fluid) the dest pack is also a source view, and
+    # in-place writes would race the pipelined source prefetch of
+    # later programs.  Entries no program writes (the reserved zero
+    # entry, blanks past n_a) are zero-filled afterwards — one fused
+    # where pass at full HBM bandwidth.
+    out_spec = [pl.BlockSpec((1, R, Pd_full * Md), dest_map)]
+    out_shape = [jax.ShapeDtypeStruct((A1, R, Pd_full * Md), fdt)]
+    if window_any:
+        out_spec.append(pl.BlockSpec((1, R, Md), dest_map))
+        out_shape.append(jax.ShapeDtypeStruct((A1, R, Md), fdt))
 
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
@@ -962,42 +1011,64 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
     ent_of = jnp.zeros((A + 2,), jnp.int32).at[
         jnp.clip(dps.inv, 0, A + 1)].set(ar, mode='drop')
     ids = ent_of[1 + jnp.arange(A, dtype=jnp.int32)]
-    bi = ids // ny
-    bj = ids % ny
-    na_pf = dps.n_a.reshape(1)
 
+    # source-proximity filter: a dest pencil with no source pencil in
+    # its (oy, ox) neighborhood has nothing to accumulate — skip its
+    # program entirely (dam_break_3d walls: most boundary pencils are
+    # far from fluid).  Active-first compaction; padding programs
+    # repeat the last kept entry.
+    src2d = jnp.zeros((nx, ny), bool)
+    for inv_s in inv_srcs:
+        src2d = src2d | (inv_s > 0).reshape(nx, ny)
+    dil = src2d
+    for ox in oxs:
+        for oy in oys:
+            if ox == 0 and oy == 0:
+                continue
+            dil = dil | jnp.roll(src2d, (ox, oy), axis=(0, 1))
+    aA = jnp.arange(A, dtype=jnp.int32)
+    keep = dil.reshape(-1)[ids] & (aA < dps.n_a)
+    n_eff = jnp.sum(keep.astype(jnp.int32))
+    order = jnp.argsort(~keep).astype(jnp.int32)
+    ids_o = ids[order]
+    ent = 1 + order
+    last = ent[jnp.clip(n_eff - 1, 0, A - 1)]
+    ent = jnp.where(aA < n_eff, ent, last)
+    ids_o = jnp.where(aA < n_eff, ids_o,
+                      ids_o[jnp.clip(n_eff - 1, 0, A - 1)])
+    bi = ids_o // ny
+    bj = ids_o % ny
+    na_pf = n_eff.reshape(1)
+
+    n_prefetch = 4 + len(inv_srcs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3 + len(inv_srcs), grid=(A,),
+        num_scalar_prefetch=n_prefetch, grid=(A,),
         in_specs=in_specs, out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((R, Md), fdt)
                         for _ in range(n_scratch)])
-    outp = pl.pallas_call(
+    result = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-        **_compiler_kwargs(pltpu))(bi, bj, na_pf, *inv_srcs, *ins)
+        **_compiler_kwargs(pltpu))(bi, bj, na_pf, *inv_srcs, ent,
+                                   *ins)
+    if window_any:
+        outp, exc = result
+    else:
+        (outp,) = result
+
+    # entries no program covered keep their prior pack content
+    # (entry 0 stays the reserved zero block; skipped far-from-source
+    # pencils keep their planes; blanks past n_a stay blank)
+    cov = jnp.zeros((A1,), bool).at[
+        jnp.where(aA < n_eff, ent, A1)].set(True, mode='drop')
+    cov3 = cov[:, None, None]
+    outp = jnp.where(cov3, outp, dps.pack)
 
     window_ovf = jnp.asarray(False)
     if window_any:
-        act = jnp.arange(A1, dtype=jnp.int32)[:, None, None] <= \
-            dps.n_a
-        act = act & (jnp.arange(A1,
-                                dtype=jnp.int32)[:, None, None] > 0)
-        window_ovf = jnp.max(jnp.where(
-            act, outp[:, :, Po * Md:(Po + 1) * Md], 0.0)) > 0.0
-        outp = outp[:, :, :Po * Md]
+        window_ovf = jnp.max(jnp.where(cov3, exc, 0.0)) > 0.0
 
-    # merge out planes into the resident pack (unvisited entries --
-    # inactive or beyond n_a -- keep their pre-phase values)
-    act = (jnp.arange(A1, dtype=jnp.int32)[:, None, None] <=
-           dps.n_a) & (jnp.arange(A1,
-                                  dtype=jnp.int32)[:, None, None] > 0)
-    new_cols = {}
-    for po, p in enumerate(out_props):
-        pi = dap.plane_idx(p)
-        cur = dps.pack[:, :, pi * Md:(pi + 1) * Md]
-        val = outp[:, :, po * Md:(po + 1) * Md]
-        new_cols[p] = jnp.where(act, val, cur)
-    dstore.update_planes(new_cols)
+    dstore.adopt_pack(dps._replace(pack=outp), out_props)
     return {'block_overflow': block_ovf,
             'window_overflow': window_ovf}
 
