@@ -98,12 +98,23 @@ _SPECIAL_ARGS = ('d_idx', 's_idx', 't', 'dt', 'SPH_KERNEL',
 # Pair views over a runner (recording or in-kernel)
 # ---------------------------------------------------------------------------
 class PlanePairDest(object):
-    __slots__ = ('runner', 'name', 'is_const')
+    __slots__ = ('runner', 'name', 'is_const', 'stride')
 
-    def __init__(self, runner, name, is_const):
+    def __init__(self, runner, name, is_const, stride=1):
         self.runner = runner
         self.name = name
         self.is_const = is_const
+        self.stride = stride
+
+    def _key(self, key):
+        """Plane key: the prop name, or (name, column) for strided
+        props — each column of a strided prop (e.g. the 9 entries of
+        a moment matrix) is its own pack plane."""
+        if key.mul != self.stride:
+            raise PallasIneligible(
+                'stride mismatch on %r (%d vs %d)'
+                % (self.name, key.mul, self.stride))
+        return self.name if self.stride == 1 else (self.name, key.off)
 
     def __getitem__(self, key):
         r = self.runner
@@ -112,48 +123,53 @@ class PlanePairDest(object):
                 return r.get_const('d', self.name, key)
             raise PallasIneligible(
                 'fixed-index read of non-constant %r' % self.name)
-        if key.mul != 1:
-            raise PallasIneligible('strided read of %r' % self.name)
-        return r.dread(self.name)[:, :, None]
+        return r.dread(self._key(key))[:, :, None]
 
     def __setitem__(self, key, value):
         r = self.runner
         if self.is_const or not isinstance(key, IndexSym):
             raise PallasIneligible(
                 'unsupported write target %r' % self.name)
-        if key.mul != 1:
-            raise PallasIneligible('strided write of %r' % self.name)
+        k = self._key(key)
         ctx = r.ctx
-        col = r.dread(self.name)           # (nz, Md)
+        col = r.dread(k)                   # (nz, Md)
         maskf = ctx.pair_maskf             # (nz, Md, 3Ms)
         mask = maskf > 0.0
         if isinstance(value, _AccumMax):
             v = jnp.broadcast_to(
                 jnp.asarray(value.value, col.dtype), maskf.shape)
             contrib = jnp.max(jnp.where(mask, v, -jnp.inf), axis=2)
-            r.accumulate(self.name, 'max', contrib)
+            r.accumulate(k, 'max', contrib)
         elif isinstance(value, _AccumMin):
             v = jnp.broadcast_to(
                 jnp.asarray(value.value, col.dtype), maskf.shape)
             contrib = jnp.min(jnp.where(mask, v, jnp.inf), axis=2)
-            r.accumulate(self.name, 'min', contrib)
+            r.accumulate(k, 'min', contrib)
         else:
             v = jnp.asarray(value, col.dtype)
-            if not (v.ndim == 3 and v.shape[2] == maskf.shape[2]):
-                raise PallasIneligible(
-                    'per-particle assignment to %r in a pair loop'
-                    % self.name)
-            delta = jnp.where(mask, v - col[:, :, None], 0.0)
-            r.accumulate(self.name, 'sum', jnp.sum(delta, axis=2))
+            if v.ndim == 3 and v.shape[2] == maskf.shape[2]:
+                delta = jnp.where(mask, v - col[:, :, None], 0.0)
+                r.accumulate(k, 'sum', jnp.sum(delta, axis=2))
+            else:
+                # per-particle assignment (d_p[d_idx] = expr inside a
+                # pair loop, e.g. the normalization passes of
+                # kernel-correction loop_all bodies): exact only under
+                # sequential (union-window) execution — the runner
+                # raises when the execution path can't honor it
+                if v.ndim == 3:
+                    v = v[:, :, 0]
+                r.accumulate(k, 'set',
+                             jnp.broadcast_to(v, col.shape))
 
 
 class PlanePairSrc(object):
-    __slots__ = ('runner', 'name', 'is_const')
+    __slots__ = ('runner', 'name', 'is_const', 'stride')
 
-    def __init__(self, runner, name, is_const):
+    def __init__(self, runner, name, is_const, stride=1):
         self.runner = runner
         self.name = name
         self.is_const = is_const
+        self.stride = stride
 
     def __getitem__(self, key):
         r = self.runner
@@ -162,9 +178,12 @@ class PlanePairSrc(object):
                 return r.get_const('s', self.name, key)
             raise PallasIneligible(
                 'fixed-index read of non-constant %r' % self.name)
-        if key.mul != 1:
-            raise PallasIneligible('strided read of %r' % self.name)
-        return r.scat(self.name)[:, None, :]
+        if key.mul != self.stride:
+            raise PallasIneligible(
+                'stride mismatch on %r (%d vs %d)'
+                % (self.name, key.mul, self.stride))
+        k = self.name if self.stride == 1 else (self.name, key.off)
+        return r.scat(k)[:, None, :]
 
     def __setitem__(self, key, value):
         raise PallasIneligible(
@@ -178,13 +197,16 @@ class PlanePairContext(object):
     via inheritance set up lazily to avoid a circular import."""
 
     def __init__(self, runner, kernel, domain, radius_scale,
-                 dest_consts, src_consts):
+                 dest_consts, src_consts, dest_strides=None,
+                 src_strides=None):
         self.runner = runner
         self.kernel = kernel
         self.domain = domain
         self.radius_scale = radius_scale
         self._dest_consts = dest_consts
         self._src_consts = src_consts
+        self._dest_strides = dest_strides or {}
+        self._src_strides = src_strides or {}
         self._sym = {}
         self._dest_views = {}
         self._src_views = {}
@@ -203,13 +225,15 @@ class PlanePairContext(object):
     def dest_view(self, prop):
         if prop not in self._dest_views:
             self._dest_views[prop] = PlanePairDest(
-                self.runner, prop, prop in self._dest_consts)
+                self.runner, prop, prop in self._dest_consts,
+                self._dest_strides.get(prop, 1))
         return self._dest_views[prop]
 
     def src_view(self, prop):
         if prop not in self._src_views:
             self._src_views[prop] = PlanePairSrc(
-                self.runner, prop, prop in self._src_consts)
+                self.runner, prop, prop in self._src_consts,
+                self._src_strides.get(prop, 1))
         return self._src_views[prop]
 
     @property
@@ -283,29 +307,43 @@ def _bind_loop(fn, ctx, t, dt):
     fn(**kwargs)
 
 
-def _run_eqs(eqs, ctx, t, dt, written=None):
-    """Run every equation's loop; the runner tracks per-equation
-    writes so cross-equation read-after-write is probed (the same
-    code path runs during recording and inside the kernel).  Pass
-    ``written`` to carry the written-set across fused source phases
-    (the reference evaluates them sequentially, so a later source's
-    equations can read props accumulated by an earlier source's)."""
-    r = ctx.runner
-    r.written_before = set() if written is None else written
+def _run_eqs(eqs, ctx, t, dt):
+    """Run every equation's loop and loop_all (the same code path
+    runs during recording and inside the kernel)."""
     for eq in eqs:
-        r.cur_written = set()
-        _bind_loop(eq.loop, ctx, t, dt)
-        r.written_before |= r.cur_written
-    return r.written_before
+        fn = getattr(eq, 'loop', None)
+        if fn is not None:
+            _bind_loop(fn, ctx, t, dt)
+        fn = getattr(eq, 'loop_all', None)
+        if fn is not None:
+            _bind_loop(fn, ctx, t, dt)
 
 
 # ---------------------------------------------------------------------------
 # Recording pass
 # ---------------------------------------------------------------------------
+def _plane_label(key):
+    """Display/sample label for a plane key (a prop name, or a
+    (name, column) tuple for strided props)."""
+    return key if isinstance(key, str) else '%s@%d' % key
+
+
+def _pkey(key):
+    """Sort key usable on mixed str / (name, column) plane keys."""
+    return (key, -1) if isinstance(key, str) else (key[0], key[1])
+
+
+def _flat_col(view, key, fdt):
+    """Flat column of a plane key from a FlatView/state mapping."""
+    if isinstance(key, tuple):
+        return jnp.asarray(view[key[0]][:, key[1]], fdt)
+    return jnp.asarray(view[key], fdt)
+
+
 def _prop_values(prop, n, ramp):
     """Deterministic, non-degenerate per-prop sample values so the
     recording pass exercises real arithmetic (all-ones inputs zero out
-    XIJ/DWIJ and would blind the linearity probe below)."""
+    XIJ/DWIJ and would blind the analysis)."""
     h = zlib.crc32(prop.encode()) % 89
     base = 0.7 + h / 89.0
     return jnp.asarray(base + ramp * np.arange(1, n + 1,
@@ -313,163 +351,182 @@ def _prop_values(prop, n, ramp):
 
 
 class _Recorder(object):
-    """Tiny-array dry run: discovers read/written props, accumulation
-    ops, and constants; raises PallasIneligible on anything the
+    """Tiny-array dry run: discovers read/written planes, accumulation
+    ops, constants, and whether a source phase needs SEQUENTIAL
+    (union-window) execution; raises PallasIneligible on anything the
     kernel can't express.
 
-    ``perturb``: offset added to reads of props already accumulated in
-    this phase (``dread`` of a written prop).  The in-kernel execution
-    returns the *pre-phase* value for such reads (the delta-subtraction
-    convention), which is exact iff the read is only used as the
-    additive base of a ``d_p[d_idx] += expr``.  Recording runs twice
-    (perturb 0 and != 0); any contribution that shifts with the
-    perturbation used the read non-additively -> fall back."""
+    Sequential execution is required when the phase's results depend
+    on seeing the full candidate set mid-body: read-after-write of an
+    accumulated plane, per-particle assignment ('set'), mixed ops on
+    one plane, or a loop_all body.  Pure sum/max/min phases may
+    instead run per stencil offset (candidate subsets commute)."""
 
-    def __init__(self, perturb=0.0):
-        self.perturb = perturb
+    mode = 'seq'
+
+    def __init__(self):
         self.d_read = set()
-        self.raw_reads = set()
-        self.contribs = []
         self.d_consts = OrderedDict()
-        self.out_ops = OrderedDict()
-        self.written_before = set()
-        self.cur_written = set()
+        self.out_ops = OrderedDict()   # plane key -> op ('mixed' ok)
+        self.acc = {}                  # plane key -> sample value
         self.dmaskf = jnp.ones((2, 2), jnp.float32)
         self.smaskf_cat = jnp.ones((2, 6), jnp.float32)
         self.ctx = None
-        # per fused source phase: (s_read, s_consts)
+        # per fused source phase: (s_read, s_consts, needs_seq)
         self.sources = []
         self.s_read = None
         self.s_consts = None
+        self._seq_flag = [False]
 
-    def begin_source(self):
+    def begin_source(self, loop_all=False):
         self.s_read = set()
         self.s_consts = OrderedDict()
-        self.sources.append((self.s_read, self.s_consts))
+        self._seq_flag = [bool(loop_all)]
+        self.sources.append((self.s_read, self.s_consts,
+                             self._seq_flag))
 
-    def dcol(self, prop):
-        self.d_read.add(prop)
-        return _prop_values(prop, 4, 0.05).reshape(2, 2)
+    def dcol(self, key):
+        self.d_read.add(key)
+        return _prop_values(_plane_label(key), 4, 0.05).reshape(2, 2)
 
-    def dread(self, prop):
-        if prop in self.written_before or prop in self.cur_written:
-            self.raw_reads.add(prop)
-            return self.dcol(prop) + jnp.float32(self.perturb)
-        return self.dcol(prop)
+    def dread(self, key):
+        if key in self.acc:
+            # read-after-write: exact only sequentially
+            self._seq_flag[0] = True
+            return self.acc[key]
+        return self.dcol(key)
 
-    def scat(self, prop):
-        self.s_read.add(prop)
-        return _prop_values(prop, 12, 0.03).reshape(2, 6)
+    def scat(self, key):
+        self.s_read.add(key)
+        return _prop_values(_plane_label(key), 12, 0.03).reshape(2, 6)
 
     def get_const(self, side, prop, key):
         d = self.d_consts if side == 'd' else self.s_consts
         d.setdefault(prop, set()).add(key)
         return jnp.asarray(1.0, jnp.float32)
 
-    def accumulate(self, prop, op, contrib):
-        prev = self.out_ops.get(prop)
+    def accumulate(self, key, op, contrib):
+        prev = self.out_ops.get(key)
         if prev is not None and prev != op:
-            raise PallasIneligible(
-                'mixed accumulation ops on %r' % prop)
-        self.out_ops[prop] = op
-        self.cur_written.add(prop)
-        self.contribs.append((prop, op, np.asarray(contrib)))
+            self.out_ops[key] = 'mixed'
+            self._seq_flag[0] = True
+        else:
+            self.out_ops[key] = op
+        if op == 'set':
+            self._seq_flag[0] = True
+        cur = self.acc.get(key)
+        if cur is None:
+            cur = self.dcol(key)
+        contrib = jnp.asarray(contrib, jnp.float32)
+        if op == 'sum':
+            val = cur + contrib
+        elif op == 'max':
+            val = jnp.maximum(cur, contrib)
+        elif op == 'min':
+            val = jnp.minimum(cur, contrib)
+        else:
+            val = jnp.broadcast_to(contrib, cur.shape)
+        self.acc[key] = val
 
 
-def _record_once(phases, kernel, domain, radius_scale, dest_consts,
-                 perturb):
-    """phases: list of (eqs, src_consts) run sequentially (fused
-    sources of one dest)."""
-    rec = _Recorder(perturb)
-    written = None
-    for eqs, src_consts in phases:
-        rec.begin_source()
-        ctx = PlanePairContext(rec, kernel, domain, radius_scale,
-                               dest_consts, src_consts)
-        rec.ctx = ctx
-        written = _run_eqs(eqs, ctx, 0.0, 1e-3, written)
-    return rec
-
-
-def _record(phases, kernel, domain, radius_scale, dest_consts):
+def _record(phases, kernel, domain, radius_scale, dest_consts,
+            dest_strides=None, src_strides_list=None):
     # plan_pair_phases runs while the caller's step is being traced;
-    # the recording uses only concrete inputs, so evaluate it eagerly
-    # (the linearity probe below needs concrete contributions).  Pin
-    # the tiny eager ops to the host CPU: through a remote-dispatch
+    # the recording uses only concrete inputs, so evaluate it eagerly.
+    # Pin the tiny eager ops to the host CPU: through a remote-dispatch
     # TPU tunnel each one costs ~0.5 s (measured 205 s/record on the
     # device vs 1.5 s on CPU).
     cpu = jax.local_devices(backend='cpu')[0]
     with jax.ensure_compile_time_eval(), jax.default_device(cpu):
-        return _record_concrete(phases, kernel, domain, radius_scale,
-                                dest_consts)
-
-
-def _record_concrete(phases, kernel, domain, radius_scale,
-                     dest_consts):
-    _install_symbol_formulas()
-    rec = _record_once(phases, kernel, domain, radius_scale,
-                       dest_consts, 0.0)
-    if rec.raw_reads:
-        rec2 = _record_once(phases, kernel, domain, radius_scale,
-                            dest_consts, 0.731)
-        ok = len(rec.contribs) == len(rec2.contribs)
-        if ok:
-            for (p1, o1, c1), (p2, o2, c2) in zip(rec.contribs,
-                                                  rec2.contribs):
-                if (p1 != p2 or o1 != o2 or not np.allclose(
-                        c1, c2, rtol=1e-4, atol=1e-5, equal_nan=True)):
-                    ok = False
-                    break
-        if not ok:
-            raise PallasIneligible(
-                'non-additive cross-equation read of %s'
-                % sorted(rec.raw_reads))
-    return rec
+        _install_symbol_formulas()
+        rec = _Recorder()
+        for pi, (eqs, src_consts) in enumerate(phases):
+            rec.begin_source(loop_all=any(
+                getattr(eq, 'loop_all', None) is not None
+                for eq in eqs))
+            ctx = PlanePairContext(
+                rec, kernel, domain, radius_scale, dest_consts,
+                src_consts, dest_strides=dest_strides,
+                src_strides=(src_strides_list[pi]
+                             if src_strides_list else None))
+            rec.ctx = ctx
+            _run_eqs(eqs, ctx, 0.0, 1e-3)
+        return rec
 
 
 # ---------------------------------------------------------------------------
 # Kernel runner
 # ---------------------------------------------------------------------------
 class _KernelRunner(object):
-    def __init__(self, dcols, scat_fn, dmaskf, smaskf_cat, consts):
-        self._dcols = dcols          # prop -> (nz, Md)
-        self._scat = scat_fn         # prop -> (nz, 3Ms)
+    """mode='delta': reads return the provided base planes; each
+    accumulation is an op-tagged contribution over this phase's
+    candidate subset, combined into the caller's value-so-far scratch
+    (exact for single-op sum/max/min bodies — the recording pass
+    guarantees it before this mode is chosen; candidate sets may be
+    split across stencil-offset phases).
+
+    mode='seq': reads see the value-so-far (pending accumulation if
+    any, else the base plane), and accumulations compose sequentially
+    — including per-particle assigns ('set') and mixed ops.  Exact
+    reference semantics; valid only when ONE phase sees the FULL
+    candidate window (the union-compaction path)."""
+
+    def __init__(self, dcols, scat_fn, dmaskf, smaskf_cat, consts,
+                 mode='delta'):
+        self._dcols = dcols          # plane key -> (nz, Md)
+        self._scat = scat_fn         # plane key -> (nz, W)
         self.dmaskf = dmaskf
         self.smaskf_cat = smaskf_cat
         self._consts = consts        # (side, prop) -> 1D array
-        self.acc = {}                # prop -> (op, (nz, Md))
-        self.written_before = set()
-        self.cur_written = set()
+        self.mode = mode
+        # delta: key -> (op, contrib); seq: key -> value-so-far
+        self.acc = {}
         self.ctx = None
 
-    def dcol(self, prop):
-        return self._dcols[prop]
+    def dcol(self, key):
+        return self._dcols[key]
 
-    def dread(self, prop):
-        # reads always see the pre-phase value; the recording probe
-        # guaranteed that post-write reads are additive-only, for
-        # which the delta-subtraction accumulation is exact.
-        return self._dcols[prop]
+    def dread(self, key):
+        if self.mode == 'seq' and key in self.acc:
+            return self.acc[key]
+        return self._dcols[key]
 
-    def scat(self, prop):
-        return self._scat(prop)
+    def scat(self, key):
+        return self._scat(key)
 
     def get_const(self, side, prop, key):
         return self._consts[(side, prop)][key]
 
-    def accumulate(self, prop, op, contrib):
-        self.cur_written.add(prop)
-        if prop in self.acc:
-            _, cur = self.acc[prop]
+    def accumulate(self, key, op, contrib):
+        if self.mode == 'seq':
+            cur = self.dread(key)
+            if op == 'sum':
+                val = cur + contrib
+            elif op == 'max':
+                val = jnp.maximum(cur, contrib)
+            elif op == 'min':
+                val = jnp.minimum(cur, contrib)
+            else:
+                val = jnp.broadcast_to(contrib, cur.shape)
+            self.acc[key] = val
+            return
+        if op == 'set':
+            raise PallasIneligible(
+                'assignment accumulation on a per-offset phase')
+        if key in self.acc:
+            pop, cur = self.acc[key]
+            if pop != op:
+                raise PallasIneligible(
+                    'mixed ops on %r in a per-offset phase' % (key,))
             if op == 'sum':
                 cur = cur + contrib
             elif op == 'max':
                 cur = jnp.maximum(cur, contrib)
             else:
                 cur = jnp.minimum(cur, contrib)
-            self.acc[prop] = (op, cur)
+            self.acc[key] = (op, cur)
         else:
-            self.acc[prop] = (op, contrib)
+            self.acc[key] = (op, contrib)
 
 
 def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
@@ -545,11 +602,9 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
     # only the pair compute is gated on writability.
     @pl.when(valid)
     def _init_scratch():
-        neutral = {'sum': 0.0, 'max': -jnp.inf, 'min': jnp.inf}
+        # value-so-far protocol (see _pair_kernel_compact)
         for po, prop in enumerate(out_props):
-            scratch[po][...] = jnp.full(
-                scratch[po].shape, neutral[out_ops[prop]],
-                scratch[po].dtype)
+            scratch[po][...] = dcols[prop]
 
     @pl.when(occ)
     def _compute():
@@ -567,7 +622,6 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
                 else:
                     x_okf = jnp.where(
                         (i + ox >= 0) & (i + ox <= nx - 1), one, zero)
-                written = [None]
                 for (s_ref, s_props, s_consts, s_const_list), eqs in \
                         zip(srcs, eqs_list):
                     # the 3 z-offset views were pre-shifted by
@@ -599,8 +653,7 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
                             set(p for p in d_const_list),
                             set(p for p in s_const_list))
                         runner.ctx = ctx
-                        written[0] = _run_eqs(eqs, ctx, t, dt,
-                                              written[0])
+                        _run_eqs(eqs, ctx, t, dt)
                         for prop, (op, val) in runner.acc.items():
                             sref = scratch[out_idx[prop]]
                             cur = sref[...]
@@ -636,23 +689,16 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
 # ---------------------------------------------------------------------------
 def _static_eligible(eqs, dest_schema, src_schema):
     for eq in eqs:
-        if getattr(eq, 'loop_all', None) is not None:
-            raise PallasIneligible('%s uses loop_all' % eq.name)
-        fn = getattr(eq, 'loop', None)
-        if fn is None:
-            continue
-        for arg in _method_args(fn):
-            if arg in _SPECIAL_ARGS or arg in _SYM_DEPS:
-                if arg == 'NBRS':
-                    raise PallasIneligible('NBRS iteration')
+        for fn in (getattr(eq, 'loop', None),
+                   getattr(eq, 'loop_all', None)):
+            if fn is None:
                 continue
-            if arg.startswith('d_'):
-                if dest_schema.strides.get(arg[2:], 1) != 1:
-                    raise PallasIneligible('strided %s' % arg)
-            elif arg.startswith('s_'):
-                if src_schema.strides.get(arg[2:], 1) != 1:
-                    raise PallasIneligible('strided %s' % arg)
-            else:
+            for arg in _method_args(fn):
+                if arg in _SPECIAL_ARGS or arg in _SYM_DEPS:
+                    continue
+                if arg.startswith('d_') or arg.startswith('s_'):
+                    continue     # strided props ride per-column planes
+                # NBRS (raw neighbor indices) lands here: unsupported
                 raise PallasIneligible('unknown arg %r' % arg)
 
 
@@ -757,23 +803,48 @@ def plan_pair_phases(phases, dest_store, spec, kernel_obj, domain,
             raise PallasIneligible('source cell capacity too large')
         _tiling(spec, Md, Ms)
         _static_eligible(eqs, dest_schema, src_store.schema)
-    rec = _record([(eqs, set(s.schema.consts)) for s, eqs in phases],
-                  kernel_obj, domain, radius_scale,
-                  set(dest_schema.consts))
+    rec = _record(
+        [(eqs, set(s.schema.consts)) for s, eqs in phases],
+        kernel_obj, domain, radius_scale, set(dest_schema.consts),
+        dest_strides=dict(dest_schema.strides),
+        src_strides_list=[dict(s.schema.strides)
+                          for s, _ in phases])
     if not rec.out_ops:
         return None
-    for p in rec.out_ops:
-        if not jnp.issubdtype(dest_store[p].dtype, jnp.floating):
-            raise PallasIneligible('non-float accumulation on %r' % p)
+    import os
+    compact = os.environ.get('PYSPH_TPU_COMPACT', '1') != '0'
+    needs_seq = [bool(f[0]) for (_r, _c, f) in rec.sources]
+    strided = any(isinstance(k, tuple) for k in
+                  (set(rec.d_read) | set(rec.out_ops) |
+                   set().union(*(r for r, _c, _f in rec.sources))))
+    if (any(needs_seq) or strided) and not compact:
+        raise PallasIneligible(
+            'sequential/strided phases need the compact union path')
+    if any(needs_seq) and os.environ.get('PYSPH_TPU_UNION',
+                                         'auto') == '0':
+        raise PallasIneligible(
+            'sequential-semantics phase with union compaction '
+            'disabled')
     # prop-stacked DMA blocks require one uniform dtype
     fdt = dest_store.flat['x'].dtype
+
+    def _flat_dtype(store, key):
+        return store.flat[key[0] if isinstance(key, tuple)
+                          else key].dtype
+
+    for p in rec.out_ops:
+        if not jnp.issubdtype(_flat_dtype(dest_store, p),
+                              jnp.floating):
+            raise PallasIneligible('non-float accumulation on %r'
+                                   % (p,))
     for p in set(rec.d_read) | set(rec.out_ops):
-        if dest_store.flat[p].dtype != fdt:
-            raise PallasIneligible('mixed-dtype dest prop %r' % p)
-    for (src_store, _), (s_read, _) in zip(phases, rec.sources):
+        if _flat_dtype(dest_store, p) != fdt:
+            raise PallasIneligible('mixed-dtype dest prop %r' % (p,))
+    for (src_store, _), (s_read, _c, _f) in zip(phases, rec.sources):
         for p in s_read:
-            if src_store.flat[p].dtype != fdt:
-                raise PallasIneligible('mixed-dtype src prop %r' % p)
+            if _flat_dtype(src_store, p) != fdt:
+                raise PallasIneligible('mixed-dtype src prop %r'
+                                       % (p,))
     return _Plan(phases, rec, kernel_obj, domain, radius_scale)
 
 
@@ -922,7 +993,7 @@ def _execute_plan(plan, dest_store, spec, write_mask, t, dt,
 
     src_metas = []
     eqs_list = []
-    for (src_store, eqs), Ms, (s_read, s_consts) in zip(
+    for (src_store, eqs), Ms, (s_read, s_consts, _seq) in zip(
             plan.phases, Mss, rec.sources):
         src_consts = set(src_store.schema.consts)
         s_props = tuple(sorted((s_read | dep_props) - src_consts))
@@ -1062,7 +1133,9 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
     entry 0, and the z lane-concat was gathered with sentinel rows
     host-side.  The kernel is pure pair arithmetic over mask planes."""
     (tz, Md, oys, oxs, d_props, d_const_list, src_metas, out_props,
-     out_ops, union) = meta
+     out_ops, union, d_strides_t) = meta
+    d_strides = dict(d_strides_t)
+    s_strides_list = [dict(m[3]) for m in src_metas]
     it = iter(refs)
     bi_ref = next(it)                # scalar prefetch (used by maps)
     bj_ref = next(it)
@@ -1074,7 +1147,7 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
     d_ref = next(it)                 # (1, tz, (2 + Pd) * Md)
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
     srcs = []
-    for s_props, s_const_list, _Ms in src_metas:
+    for s_props, s_const_list, _Ms, _sstr in src_metas:
         s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
         s_consts = {('s', p): next(it)[0] for p in s_const_list}
         srcs.append((s_ref, s_props, s_consts, s_const_list))
@@ -1097,13 +1170,16 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
 
     occ = valid & (jnp.sum(wmf * dmaskf) > 0.0)
 
+    # scratch protocol: VALUE-SO-FAR.  Each out plane's scratch is
+    # initialized to its pre-phase value; per-offset (delta) phases
+    # op-combine contributions into it, union (seq) phases read it as
+    # the current value and overwrite — so mixed per-offset and
+    # sequential sources compose exactly, and the writeback is one
+    # uniform write-masked select.
     @pl.when(valid)
     def _init_scratch():
-        neutral = {'sum': 0.0, 'max': -jnp.inf, 'min': jnp.inf}
         for po, prop in enumerate(out_props):
-            scratch[po][...] = jnp.full(
-                scratch[po].shape, neutral[out_ops[prop]],
-                scratch[po].dtype)
+            scratch[po][...] = dcols[prop]
         if exc_scratch is not None:
             exc_scratch[...] = jnp.zeros(exc_scratch.shape,
                                          exc_scratch.dtype)
@@ -1210,7 +1286,7 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                     def _phase(ref=ref, s_props=s_props,
                                s_consts=s_consts,
                                s_const_list=s_const_list, eqs=eqs,
-                               smaskf_cat=smaskf_cat, W3=W3):
+                               smaskf_cat=smaskf_cat, W3=W3, si=si):
                         def scat(prop):
                             pi = s_props.index(prop)
                             return ref[0][:, (1 + pi) * W3:
@@ -1224,7 +1300,9 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                         ctx = PlanePairContext(
                             runner, kernel_obj, domain, radius_scale,
                             set(p for p in d_const_list),
-                            set(p for p in s_const_list))
+                            set(p for p in s_const_list),
+                            dest_strides=d_strides,
+                            src_strides=s_strides_list[si])
                         runner.ctx = ctx
                         _run_eqs(eqs, ctx, t, dt)
                         _accumulate(runner, out_idx)
@@ -1264,29 +1342,32 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
                     chunk_any = jnp.sum(wmf[sl] * dmaskf[sl]) > 0.0
 
                     def _chunk(sl=sl):
-                        dcols_c = {p: dcols[p][sl] for p in d_props}
+                        # seq mode: out planes read the value-so-far
+                        # from scratch (earlier sources / earlier
+                        # statements included); acc holds the new
+                        # value-so-far, written back wholesale
+                        dcols_c = {
+                            p: (scratch[out_idx[p]][sl, :]
+                                if p in out_idx else dcols[p][sl])
+                            for p in d_props}
 
                         def scat(prop, sl=sl):
                             return pk[prop][sl]
 
                         runner = _KernelRunner(dcols_c, scat,
                                                dmaskf[sl],
-                                               pmaskf[sl], consts)
+                                               pmaskf[sl], consts,
+                                               mode='seq')
                         ctx = PlanePairContext(
                             runner, kernel_obj, domain, radius_scale,
                             set(p for p in d_const_list),
-                            set(p for p in s_const_list))
+                            set(p for p in s_const_list),
+                            dest_strides=d_strides,
+                            src_strides=s_strides_list[si])
                         runner.ctx = ctx
                         _run_eqs(eqs, ctx, t, dt)
-                        for prop, (op, val) in runner.acc.items():
-                            sref = scratch[out_idx[prop]]
-                            cur = sref[sl, :]
-                            if op == 'sum':
-                                sref[sl, :] = cur + val
-                            elif op == 'max':
-                                sref[sl, :] = jnp.maximum(cur, val)
-                            else:
-                                sref[sl, :] = jnp.minimum(cur, val)
+                        for prop, val in runner.acc.items():
+                            scratch[out_idx[prop]][sl, :] = val
 
                     pl.when(chunk_any)(_chunk)
 
@@ -1295,16 +1376,10 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
     @pl.when(valid)
     def _writeback():
         for po, prop in enumerate(out_props):
-            op = out_ops[prop]
             cur = dcols[prop]
-            val = scratch[po][...]
-            if op == 'sum':
-                new = cur + wmf * val
-            elif op == 'max':
-                new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
-            else:
-                new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
-            out_ref[0, :, po * Md:(po + 1) * Md] = new
+            val = scratch[po][...]        # value-so-far
+            out_ref[0, :, po * Md:(po + 1) * Md] = \
+                jnp.where(wmf > 0, val, cur)
         if exc_scratch is not None:
             Po_ = len(out_props)
             out_ref[0, :, Po_ * Md:(Po_ + 1) * Md] = exc_scratch[...]
@@ -1425,19 +1500,23 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     dep_props = set(_XYZH)
     for _, eqs in plan.phases:
         for eq in eqs:
-            for a_ in _method_args(eq.loop):
-                if a_ in _SYM_DEPS:
-                    dep_props.update(_SYM_DEPS[a_])
+            for fn_ in (getattr(eq, 'loop', None),
+                        getattr(eq, 'loop_all', None)):
+                if fn_ is None:
+                    continue
+                for a_ in _method_args(fn_):
+                    if a_ in _SYM_DEPS:
+                        dep_props.update(_SYM_DEPS[a_])
     d_prop_set = (rec.d_read | set(rec.out_ops) | dep_props) - \
         dest_consts
     # self-source phases (src is dest) read their base planes straight
     # from the dest pack: fold their props in so every plane exists
-    for (src_store_, _eqs_), (s_read_, _sc_) in zip(plan.phases,
-                                                    rec.sources):
+    for (src_store_, _eqs_), (s_read_, _sc_, _f_) in zip(plan.phases,
+                                                         rec.sources):
         if src_store_ is dest_store:
             d_prop_set |= (s_read_ | dep_props) - \
                 set(src_store_.schema.consts)
-    d_props = sorted(d_prop_set)
+    d_props = sorted(d_prop_set, key=_pkey)
     out_props = list(rec.out_ops)
     fdt = dest_store.flat['x'].dtype
 
@@ -1470,7 +1549,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     # plane order: write mask, slot mask (a gathered ones column:
     # empty slots read the sentinel zero row), then props
     rows_d = _rows_matrix(
-        [wm_flat, ones_d] + [jnp.asarray(fview[p], fdt)
+        [wm_flat, ones_d] + [_flat_col(fview, p, fdt)
                              for p in d_props], p_idx_d)
     A_d = p_idx_d.shape[0]
     d_pack = _pack_from_rows(rows_d, range(2 + len(d_props)), A_d,
@@ -1488,14 +1567,28 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     n_oxy = len(oys) * len(oxs)
     env_u = os.environ.get('PYSPH_TPU_UNION', 'auto')
     dname = dest_store.schema.name
+    any_seq = any(bool(f[0]) for (_r, _c, f) in rec.sources)
     Ks = []
-    for (src_store_u, _e), Ms, (s_read, _sc) in zip(
+    for (src_store_u, _e), Ms, (s_read, _sc, _f) in zip(
             plan.phases, Mss, rec.sources):
+        # sequential-semantics phases (read-after-write, assigns,
+        # loop_all) are exact only on the union path, where ONE phase
+        # sees the full candidate window and sources run in reference
+        # order — force it for every source of the fused call
+        force = any_seq
         if geometry is None or env_u == '0' or 'h' not in d_props:
+            if force:
+                raise PallasIneligible(
+                    'sequential-semantics phase without union-window '
+                    'support (no geometry)')
             Ks.append(None)
             continue
         needed = (s_read | dep_props) - set(src_store_u.schema.consts)
         if not {'x', 'y', 'z', 'h'} <= needed:
+            if force:
+                raise PallasIneligible(
+                    'sequential-semantics phase without x/y/z/h '
+                    'source planes')
             Ks.append(None)
             continue
         C_s = n_oxy * 3 * Ms
@@ -1515,7 +1608,8 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
         K = min(K, _pad_up(C_s, 128))
         # only worth it when the packed window beats the per-offset
         # lane-padded pair blocks by a clear margin
-        if env_u != '1' and n_oxy * _pad_up(3 * Ms, 128) < K + 256:
+        if (not force and env_u != '1' and
+                n_oxy * _pad_up(3 * Ms, 128) < K + 256):
             Ks.append(None)
             continue
         spec.window_caps.setdefault(pair_key, K)
@@ -1584,7 +1678,8 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     inv_srcs = []
     src_metas = []
     eqs_list = []
-    for si, ((src_store, eqs), Ms, (s_read, s_consts)) in enumerate(
+    for si, ((src_store, eqs), Ms, (s_read, s_consts,
+                                    _seq)) in enumerate(
             zip(plan.phases, Mss, rec.sources)):
         src_consts = set(src_store.schema.consts)
         needed = (s_read | dep_props) - src_consts
@@ -1603,7 +1698,8 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             block_ovf = block_ovf | s_ovf
             inv_srcs.append(inv_s)
             Pp = 1 + len(s_props)
-            src_metas.append((s_props, tuple(s_const_list), Ms))
+            src_metas.append((s_props, tuple(s_const_list), Ms,
+                              tuple(src_store.schema.strides.items())))
             eqs_list.append(eqs)
             spec_blk = (1, tz, Pp * 3 * Ms)
             for oy in oys:
@@ -1619,7 +1715,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
                 in_specs.append(pl.BlockSpec(c.shape, const_map))
             continue
 
-        s_props = tuple(sorted(needed))
+        s_props = tuple(sorted(needed, key=_pkey))
         sfrac = spec.block_frac_for(sname)
         A_s = min(B, int(np.ceil(sfrac * B)) + 8) if sfrac < 1.0 \
             else B
@@ -1663,7 +1759,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             sfv = FlatView(src_store)
             rows_s = _rows_matrix(
                 [jnp.ones((src_store.flat['x'].shape[0],), fdt)] +
-                [jnp.asarray(sfv[p], fdt) for p in s_props], p_idx_s)
+                [_flat_col(sfv, p, fdt) for p in s_props], p_idx_s)
             A_rows = A_s
             pl_list = list(range(1 + len(s_props)))
 
@@ -1697,7 +1793,8 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
             c = jnp.asarray(src_store[p]).reshape(1, -1)
             ins.append(c)
             in_specs.append(pl.BlockSpec(c.shape, const_map))
-        src_metas.append((s_props, tuple(s_const_list), Ms))
+        src_metas.append((s_props, tuple(s_const_list), Ms,
+                          tuple(src_store.schema.strides.items())))
         eqs_list.append(eqs)
 
     Po = len(out_props)
@@ -1707,7 +1804,7 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
 
     meta = (tz, Md, oys, oxs, tuple(d_props), tuple(d_const_list),
             tuple(src_metas), tuple(out_props), dict(rec.out_ops),
-            union)
+            union, tuple(dest_store.schema.strides.items()))
     kern = functools.partial(_pair_kernel_compact, eqs_list,
                              plan.kernel_obj, plan.domain,
                              plan.radius_scale, meta)

@@ -1,0 +1,94 @@
+"""Correct variant sweep of the fluid resident phase: DISTINCT
+function objects per variant (jax.jit's trace cache keys on function
+identity — same-object re-jits silently reuse the first variant's
+trace), chained inputs, interleaved reps."""
+import os, sys, time
+import numpy as np
+os.environ['PYSPH_TPU_RESIDENT'] = '1'
+import jax, jax.numpy as jnp
+from pysph_tpu.config import get_config
+get_config().use_pallas = True
+from pysph_tpu.examples.dam_break_3d import DamBreak3D
+argv = sys.argv; sys.argv = ['bench']
+app = DamBreak3D()
+app.setup(['--dx', '0.02', '--max-steps', '0', '--disable-output'])
+sys.argv = argv
+solver = app.solver; integ = solver.integrator; states = solver.states
+dt = float(solver.dt)
+_, _, carry0 = jax.jit(lambda s: integ.initial_acceleration(s, 0.0, dt))(states)
+runner = integ._res_runner
+plan = runner.plan
+packs0 = carry0[-1]; handle0 = carry0[0]
+a_eval = runner.a_eval
+spec = a_eval.grid_spec
+
+from pysph_tpu.ops.resident import PackStore, execute_resident
+import pysph_tpu.ops.resident as RES
+
+def force(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
+
+target = None
+for gi, (group, dest, eqs_by_src) in enumerate(runner._walk_groups()):
+    rec = runner._recs.get((id(group), dest))
+    if rec is None or not rec.out_ops:
+        continue
+    if dest == 'fluid':
+        target = (group, dest, eqs_by_src, rec)
+group, dest, eqs_by_src, rec = target
+geometry = (handle0.origin, handle0.widths)
+
+def make_phase_fn():
+    # fresh function object -> fresh trace under current monkeypatch
+    def phase_step(packs):
+        stores = {n_: PackStore(plan, n_, ps, dict(states[n_]))
+                  for n_, ps in packs.items()}
+        execute_resident(plan, eqs_by_src, dest, stores, rec,
+                         a_eval.kernel, a_eval.domain,
+                         spec.radius_scale, group.real, 0.0, dt,
+                         geometry)
+        ps = stores[dest].finalize_pack()
+        out = dict(packs)
+        out[dest] = packs[dest]._replace(
+            pack=packs[dest].pack + 1e-30 * ps.pack)
+        return out
+    return phase_step
+
+def mask_only(eqs, ctx, t, dt):
+    pm = ctx.pair_maskf
+    ctx.runner.accumulate('arho', 'sum', jnp.sum(pm, axis=-1))
+
+real_run = RES._run_eqs
+base_caps = dict(spec.window_caps)
+VARIANTS = [
+    ('floor',  dict(dbg='floor')),
+    ('window', dict(dbg='window')),
+    ('mask',   dict(mask=True)),
+    ('K384',   dict(K=384)),
+    ('K512',   dict(K=512)),
+    ('full',   dict()),
+]
+fns = {}
+for label, opt in VARIANTS:
+    RES._DEBUG = opt.get('dbg', '')
+    RES._run_eqs = mask_only if opt.get('mask') else real_run
+    if opt.get('K'):
+        spec.window_caps = {k: opt['K'] for k in base_caps}
+    f = jax.jit(make_phase_fn())
+    force(f(packs0))
+    fns[label] = f
+    spec.window_caps = dict(base_caps)
+    RES._DEBUG = ''
+    RES._run_eqs = real_run
+
+acc = {k: 0.0 for k in fns}
+for r in range(6):
+    for k, f in fns.items():
+        p = packs0
+        t0 = time.time()
+        for _ in range(5):
+            p = f(p)
+        force(p)
+        acc[k] += time.time() - t0
+for label, _ in VARIANTS:
+    print('%-7s %7.2f ms' % (label, acc[label]/30*1000), flush=True)
