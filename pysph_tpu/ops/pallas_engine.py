@@ -364,7 +364,15 @@ class _Recorder(object):
 
     mode = 'seq'
 
-    def __init__(self):
+    def __init__(self, read_mode='seq'):
+        # read_mode 'seq': reads of accumulated planes see the
+        # value-so-far (reference semantics) and raise the phase's
+        # needs_seq flag.  read_mode 'delta': reads return the
+        # pre-phase base, mimicking the fast per-offset delta
+        # protocol — _record compares the two passes to prove the
+        # ubiquitous `d_x[d_idx] += expr` pattern (whose += read
+        # cancels in the delta) safe for delta execution.
+        self.read_mode = read_mode
         self.d_read = set()
         self.d_consts = OrderedDict()
         self.out_ops = OrderedDict()   # plane key -> op ('mixed' ok)
@@ -391,7 +399,10 @@ class _Recorder(object):
 
     def dread(self, key):
         if key in self.acc:
-            # read-after-write: exact only sequentially
+            if self.read_mode == 'delta':
+                return self.dcol(key)
+            # read-after-write: exact only sequentially (unless the
+            # delta-probe pass of _record proves additivity)
             self._seq_flag[0] = True
             return self.acc[key]
         return self.dcol(key)
@@ -439,18 +450,49 @@ def _record(phases, kernel, domain, radius_scale, dest_consts,
     cpu = jax.local_devices(backend='cpu')[0]
     with jax.ensure_compile_time_eval(), jax.default_device(cpu):
         _install_symbol_formulas()
-        rec = _Recorder()
-        for pi, (eqs, src_consts) in enumerate(phases):
-            rec.begin_source(loop_all=any(
-                getattr(eq, 'loop_all', None) is not None
-                for eq in eqs))
-            ctx = PlanePairContext(
-                rec, kernel, domain, radius_scale, dest_consts,
-                src_consts, dest_strides=dest_strides,
-                src_strides=(src_strides_list[pi]
-                             if src_strides_list else None))
-            rec.ctx = ctx
-            _run_eqs(eqs, ctx, 0.0, 1e-3)
+        has_la = [any(getattr(eq, 'loop_all', None) is not None
+                      for eq in eqs) for eqs, _c in phases]
+
+        def run(read_mode):
+            rec = _Recorder(read_mode)
+            for pi, (eqs, src_consts) in enumerate(phases):
+                rec.begin_source(loop_all=has_la[pi])
+                ctx = PlanePairContext(
+                    rec, kernel, domain, radius_scale, dest_consts,
+                    src_consts, dest_strides=dest_strides,
+                    src_strides=(src_strides_list[pi]
+                                 if src_strides_list else None))
+                rec.ctx = ctx
+                _run_eqs(eqs, ctx, 0.0, 1e-3)
+            return rec
+
+        rec = run('seq')
+        # Linearity probe: needs_seq raised only by read-after-write
+        # (no 'set'/'mixed' ops, no loop_all) is usually the benign
+        # `d_x[d_idx] += expr` pattern whose += read cancels in the
+        # delta protocol.  Re-record with delta-mode reads (pre-phase
+        # bases); identical accumulations on the synthetic per-plane
+        # probe data prove the phases additive, so the fast per-offset
+        # delta path stays exact and the flags are cleared.
+        raw_flagged = any(f[0] for (_r, _c, f) in rec.sources)
+        if (raw_flagged and not any(has_la) and
+                not any(op in ('set', 'mixed')
+                        for op in rec.out_ops.values())):
+            rec_d = run('delta')
+            same = (list(rec_d.out_ops.items()) ==
+                    list(rec.out_ops.items()))
+            if same:
+                import numpy as _np
+                for k, v in rec.acc.items():
+                    vd = rec_d.acc.get(k)
+                    if vd is None or not _np.allclose(
+                            _np.asarray(v), _np.asarray(vd),
+                            rtol=1e-4, atol=1e-6):
+                        same = False
+                        break
+            if same:
+                for (_r, _c, f) in rec.sources:
+                    f[0] = False
         return rec
 
 
@@ -671,17 +713,14 @@ def _pair_kernel(eqs_list, kernel_obj, domain, radius_scale, meta,
 
     @pl.when(valid)
     def _writeback():
+        # value-so-far protocol: scratch was seeded with the pre-phase
+        # value (see _init_scratch) and every op combined into it, so
+        # the writeback is one uniform write-masked select — adding
+        # ``cur`` again here would double-count the base for 'sum'
         for po, prop in enumerate(out_props):
-            op = out_ops[prop]
             cur = dcols[prop]
             val = scratch[po][...]
-            if op == 'sum':
-                new = cur + wmf * val
-            elif op == 'max':
-                new = jnp.where(wmf > 0, jnp.maximum(cur, val), cur)
-            else:
-                new = jnp.where(wmf > 0, jnp.minimum(cur, val), cur)
-            out_ref[0, 0, po] = new
+            out_ref[0, 0, po] = jnp.where(wmf > 0, val, cur)
 
 
 # ---------------------------------------------------------------------------

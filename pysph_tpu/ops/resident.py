@@ -233,7 +233,17 @@ class ResidentPlan(object):
                 if schema.strides.get(p, 1) != 1:
                     raise PallasIneligible('strided prop %r' % p)
             fdt = states[name]['x'].dtype
+            cap = states[name]['x'].shape[0]
             for p in props:
+                d = states[name][p].dtype
+                if (fdt == jnp.float32 and cap > (1 << 24) and
+                        (jnp.issubdtype(d, jnp.integer) or
+                         d == jnp.bool_)):
+                    # f32 planes round-trip ints exactly only to 2^24
+                    # (gid et al. would silently corrupt)
+                    raise PallasIneligible(
+                        'integer prop %r with particle cap > 2^24 '
+                        'on f32 packs' % p)
                 if states[name][p].dtype != fdt:
                     # integer props ride as fdt planes (values are
                     # small ints; f32 is exact to 2^24)
@@ -735,7 +745,16 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                                         strips[pi] = v
                                 return strips[pi]
 
+                            # materialize every source plane HERE, at
+                            # the _phase trace level: a strip first
+                            # built lazily inside one pl.when(_chunk)
+                            # cond trace and reused by a sibling chunk
+                            # leaks that trace's tracers into the
+                            # kernel jaxpr as captured constants
+                            # (pallas rejects the kernel)
                             smf = strip3(0)
+                            for _pi in range(1, 1 + len(planes)):
+                                strip3(_pi)
 
                             def scat(prop):
                                 return strip3(
@@ -943,8 +962,15 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
                 K = Kc
                 window_any = True
                 Kmax = max(Kmax, K)
-        # source views DMA only the src segment
-        spec_blk = (1, R, (1 + n_src) * Ms)
+        # source views DMA only the src segment.  Mosaic requires a
+        # lane-partial block's width to be a multiple of 128 (or equal
+        # to the array's); round the segment up (extra lanes carry the
+        # next planes — harmless), falling back to the full width.
+        full_l = (1 + len(sap.planes)) * Ms
+        seg_l = (1 + n_src) * Ms
+        if seg_l != full_l and seg_l % 128:
+            seg_l = min(_pad_up(seg_l, 128), full_l)
+        spec_blk = (1, R, seg_l)
         for oy in oys:
             for ox in oxs:
                 ins.append(sps.pack)
@@ -1099,6 +1125,20 @@ class ResidentRunner(object):
                 phases, a_eval.kernel, a_eval.domain,
                 a_eval.grid_spec.radius_scale,
                 set(a_eval.schemas[dest].consts))
+            # resident pair phases run the delta protocol only:
+            # sequential semantics (read-after-write between
+            # equations, per-particle 'set' assigns, mixed ops) need
+            # the compact engine's value-so-far union path — fall
+            # back to the SlotStore path for the whole eval
+            if any(f[0] for (_r, _c, f) in rec.sources):
+                raise PallasIneligible(
+                    'sequential-semantics pair phase (dest %r)'
+                    % dest)
+            for p, op in rec.out_ops.items():
+                if op not in ('sum', 'max', 'min'):
+                    raise PallasIneligible(
+                        'out op %r on %r needs value-so-far '
+                        'execution' % (op, p))
             for p in rec.out_ops:
                 if p in self.plan.int_planes(dest, states[dest]):
                     raise PallasIneligible(

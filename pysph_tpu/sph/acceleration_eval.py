@@ -725,6 +725,7 @@ class AccelerationEval(object):
                                   {eq.dest for eq in
                                    self._iter_equations()})
         self.grid_spec = grid_spec
+        self._strat_ok_cache = {}
 
     # -- setup ---------------------------------------------------------
     @staticmethod
@@ -1236,6 +1237,52 @@ class AccelerationEval(object):
                 if fn is not None:
                     _bind_pair_phase(fn, ctx, t, dt)
 
+    def _stratify_partition_ok(self, group, dest, src, src_eqs):
+        """A (dest, src) pair phase may be split into the stratified
+        A/B/C launches only when its accumulation is commutative and
+        source-decomposable.  loop_all bodies (manual NBRS iteration
+        sees one sub-population per launch), per-particle assigns
+        ('set'/'mixed' out ops) and read-after-write sequences are
+        silently wrong under partitioning — run those as a single
+        unpartitioned launch on the main grid instead.  Decided by
+        the pallas recorder's needs_seq analysis; anything it cannot
+        record is conservatively unpartitioned."""
+        key = (id(group), dest, src)
+        cached = self._strat_ok_cache.get(key)
+        if cached is not None:
+            return cached
+        ok = True
+        if any(getattr(eq, 'loop_all', None) is not None
+               for eq in src_eqs):
+            ok = False
+        else:
+            from pysph_tpu.ops.pallas_engine import (
+                PallasIneligible, _record)
+            try:
+                rec = _record(
+                    [(src_eqs, set(self.schemas[src].consts))],
+                    self.kernel, self.domain,
+                    self.grid_spec.radius_scale,
+                    set(self.schemas[dest].consts),
+                    dest_strides=dict(self.schemas[dest].strides),
+                    src_strides_list=[
+                        dict(self.schemas[src].strides)])
+                if any(f[0] for (_r, _c, f) in rec.sources):
+                    ok = False
+                if any(op not in ('sum', 'max', 'min')
+                       for op in rec.out_ops.values()):
+                    ok = False
+            except PallasIneligible:
+                ok = False
+            except Exception as e:      # recorder can't see it: be safe
+                import logging
+                logging.getLogger(__name__).info(
+                    'stratified partition declined for %s<-%s: %s',
+                    dest, src, e)
+                ok = False
+        self._strat_ok_cache[key] = ok
+        return ok
+
     def _run_pair_stratified(self, group, t, dt, stores, handle,
                              dest, sources, store, fstore, fmask):
         """Stratified variable-h pair dispatch (reference capability:
@@ -1346,10 +1393,16 @@ class AccelerationEval(object):
                     self._write_mask(g, s)  # noqa: E731
 
             if sources and is_slot and handle.strata is not None:
-                self._run_pair_stratified(
-                    group, t, dt, stores, handle, dest, sources,
-                    store, fstore, fmask)
-                sources = OrderedDict()
+                # all-or-nothing per dest: mixing stratified and
+                # unpartitioned sources would reorder cross-source
+                # read-after-write sequences
+                if all(self._stratify_partition_ok(group, dest, src,
+                                                   src_eqs)
+                       for src, src_eqs in sources.items()):
+                    self._run_pair_stratified(
+                        group, t, dt, stores, handle, dest, sources,
+                        store, fstore, fmask)
+                    sources = OrderedDict()
 
             # Fuse all of this dest's sources into ONE pallas call
             # when possible: launch overhead, dest DMA and output
