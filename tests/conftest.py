@@ -1,22 +1,35 @@
-"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+"""Test configuration.
 
-The reference validates against float64 Cython; we enable jax x64 and force
-the CPU backend with 8 virtual devices so multi-chip sharding tests run
-without TPU hardware (SURVEY.md section 4 implication (e))."""
+Default (fast/slow tiers): run on a virtual 8-device CPU mesh with
+float64.  The reference validates against float64 Cython; we enable
+jax x64 and force the CPU backend with 8 virtual devices so multi-chip
+sharding tests run without TPU hardware (SURVEY.md section 4
+implication (e)).  Pallas kernels run in interpret mode here.
+
+Real-chip tier: ``PYSPH_TPU_TEST_TPU=1 pytest tests -m tpu`` keeps the
+attached TPU backend (f32, Mosaic-compiled pallas) so shape rules,
+VMEM limits and captured-constant checks — invisible in interpret
+mode — are exercised before they can ship (the round-3 resident
+engine passed every CPU test and crashed on hardware)."""
 
 import os
 
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+TPU_TIER = os.environ.get('PYSPH_TPU_TEST_TPU', '0') == '1'
+
+if not TPU_TIER:
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8').strip()
 
 import jax  # noqa: E402
 
-# NOTE: the env var JAX_PLATFORMS is pinned to the TPU plugin in this image
-# and is ignored when overridden via os.environ; jax.config works.
-jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_enable_x64', True)
+if not TPU_TIER:
+    # NOTE: the env var JAX_PLATFORMS is pinned to the TPU plugin in this
+    # image and is ignored when overridden via os.environ; jax.config
+    # works.
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_enable_x64', True)
 
 # Persistent compilation cache: the fast tier is dominated by jit
 # compiles of full solver steps on the 8-device mesh (measured 12+ min
@@ -36,4 +49,5 @@ jax.config.update('jax_persistent_cache_enable_xla_caches', 'none')
 
 from pysph_tpu.config import get_config  # noqa: E402
 
-get_config().use_double = True
+if not TPU_TIER:
+    get_config().use_double = True
