@@ -127,6 +127,85 @@ def exact(rhol, rhor, pl, pr, ul, ur, gamma=1.4, niter=20, tol=1e-6):
     return jnp.where(vacuum, 0.0, p), jnp.where(vacuum, 0.0, um)
 
 
+def sample(pm, um, s, rhol, rhor, pl, pr, ul, ur, gamma=1.4):
+    """Sample the exact Riemann solution at speed ``s`` = x/t given
+    the star-region state (pm, um) from ``exact`` — returns
+    (rho, u, p).  Batched select-tree form of the reference's
+    branch ladder (reference riemann_solver.py:289); used by
+    shocktube post-processing."""
+    tmp1 = 1.0 / (2 * gamma)
+    tmp2 = 1.0 / (gamma - 1.0)
+    tmp3 = 1.0 / (gamma + 1.0)
+    g1 = (gamma - 1.0) * tmp1
+    g2 = (gamma + 1.0) * tmp1
+    g3 = 2 * gamma * tmp2
+    g4 = 2 * tmp2
+    g5 = 2 * tmp3
+    g6 = tmp3 / tmp2
+    g7 = 0.5 * (gamma - 1.0)
+    cl = jnp.sqrt(gamma * pl / rhol)
+    cr = jnp.sqrt(gamma * pr / rhor)
+
+    # ---- left of the contact (s <= um) ----
+    # left rarefaction branch
+    shl = ul - cl
+    cml = cl * (pm / pl) ** g1
+    stl = um - cml
+    u_fan_l = g5 * (cl + g7 * ul + s)
+    c_fan_l = g5 * (cl + g7 * (ul - s))
+    rho_fan_l = rhol * (c_fan_l / cl) ** g4
+    p_fan_l = pl * (c_fan_l / cl) ** g3
+    rho_lr = jnp.where(s <= shl, rhol,
+                       jnp.where(s > stl,
+                                 rhol * (pm / pl) ** (1.0 / gamma),
+                                 rho_fan_l))
+    u_lr = jnp.where(s <= shl, ul, jnp.where(s > stl, um, u_fan_l))
+    p_lr = jnp.where(s <= shl, pl, jnp.where(s > stl, pm, p_fan_l))
+    # left shock branch
+    pml = pm / pl
+    sl = ul - cl * jnp.sqrt(g2 * pml + g1)
+    rho_ls = jnp.where(s <= sl, rhol,
+                       rhol * (pml + g6) / (pml * g6 + 1.0))
+    u_ls = jnp.where(s <= sl, ul, um)
+    p_ls = jnp.where(s <= sl, pl, pm)
+    left_rare = pm <= pl
+    rho_l = jnp.where(left_rare, rho_lr, rho_ls)
+    u_l = jnp.where(left_rare, u_lr, u_ls)
+    p_l = jnp.where(left_rare, p_lr, p_ls)
+
+    # ---- right of the contact (s > um) ----
+    # right shock branch
+    pmr = pm / pr
+    sr = ur + cr * jnp.sqrt(g2 * pmr + g1)
+    rho_rs = jnp.where(s >= sr, rhor,
+                       rhor * (pmr + g6) / (pmr * g6 + 1.0))
+    u_rs = jnp.where(s >= sr, ur, um)
+    p_rs = jnp.where(s >= sr, pr, pm)
+    # right rarefaction branch
+    shr = ur + cr
+    cmr = cr * (pm / pr) ** g1
+    st_r = um + cmr
+    u_fan_r = g5 * (-cr + g7 * ur + s)
+    c_fan_r = g5 * (cr - g7 * (ur - s))
+    rho_fan_r = rhor * (c_fan_r / cr) ** g4
+    p_fan_r = pr * (c_fan_r / cr) ** g3
+    rho_rr = jnp.where(s >= shr, rhor,
+                       jnp.where(s <= st_r,
+                                 rhor * (pm / pr) ** (1.0 / gamma),
+                                 rho_fan_r))
+    u_rr = jnp.where(s >= shr, ur, jnp.where(s <= st_r, um, u_fan_r))
+    p_rr = jnp.where(s >= shr, pr, jnp.where(s <= st_r, pm, p_fan_r))
+    right_shock = pm > pr
+    rho_r = jnp.where(right_shock, rho_rs, rho_rr)
+    u_r = jnp.where(right_shock, u_rs, u_rr)
+    p_r = jnp.where(right_shock, p_rs, p_rr)
+
+    left = s <= um
+    return (jnp.where(left, rho_l, rho_r),
+            jnp.where(left, u_l, u_r),
+            jnp.where(left, p_l, p_r))
+
+
 def ducowicz(rhol, rhor, pl, pr, ul, ur, gamma=1.4, niter=20,
              tol=1e-6):
     """Ducowicz approximate solver (reference riemann_solver.py:431)."""

@@ -267,6 +267,37 @@ class MomentumEquationPressureGradientSymmetric(Equation):
         d_aw[d_idx] += fac * DWIJ[2]
 
 
+class MomentumEquationPressureGradientSymmetricMirror(Equation):
+    """Symmetric pressure gradient with the Shao & Lo free-surface
+    mirror condition: a near-surface source particle (rho/rho0 < 0.98)
+    reflects the dest pressure (Pj = -Pi) at doubled separation
+    (reference isph/isph.py:294)."""
+
+    def initialize(self, d_idx, d_au, d_av, d_aw):
+        d_au[d_idx] = 0.0
+        d_av[d_idx] = 0.0
+        d_aw[d_idx] = 0.0
+
+    def loop(self, d_idx, s_idx, s_m, d_p, s_p, d_rho, s_rho, d_au,
+             d_av, d_aw, s_rho0, DWIJ, XIJ, RIJ, HIJ, SPH_KERNEL):
+        rhoi2 = d_rho[d_idx] * d_rho[d_idx]
+        rhoj2 = s_rho[s_idx] * s_rho[s_idx]
+        pij = d_p[d_idx] / rhoi2 + s_p[s_idx] / rhoj2
+        fac = -s_m[s_idx] * pij
+        # mirror branch: Pj = -Pi, kernel gradient at 2*xij
+        pij_m = d_p[d_idx] / rhoi2 - d_p[d_idx] / rhoj2
+        fac_m = -s_m[s_idx] * pij_m
+        xij2 = [2.0 * XIJ[0], 2.0 * XIJ[1], 2.0 * XIJ[2]]
+        dwij_m = SPH_KERNEL.gradient(xij2, 2.0 * RIJ, HIJ)
+        mirror = s_rho[s_idx] / s_rho0[s_idx] < 0.98
+        d_au[d_idx] += jnp.where(mirror, fac_m * dwij_m[0],
+                                 fac * DWIJ[0])
+        d_av[d_idx] += jnp.where(mirror, fac_m * dwij_m[1],
+                                 fac * DWIJ[1])
+        d_aw[d_idx] += jnp.where(mirror, fac_m * dwij_m[2],
+                                 fac * DWIJ[2])
+
+
 class UpdatePosition(Equation):
     """(reference isph.py:255)"""
 

@@ -276,3 +276,82 @@ def test_particle_packing_relaxes():
     assert np.isfinite(x).all()
     assert x.min() > -dx and x.max() < 1 + dx
     assert y.min() > -dx and y.max() < 1 + dx
+
+
+def test_isph_pressure_gradient_symmetric_mirror():
+    """Mirror variant (reference isph/isph.py:294): with every source
+    particle away from the free surface (rho/rho0 >= 0.98) it must
+    match the plain symmetric gradient; near-surface sources flip to
+    the Shao & Lo mirrored branch and change the answer."""
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.isph.isph import (
+        MomentumEquationPressureGradientSymmetric,
+        MomentumEquationPressureGradientSymmetricMirror,
+        get_particle_array_isph)
+    from pysph_tpu.tools.sph_evaluator import SPHEvaluator
+    dx = 0.1
+    x, y = np.mgrid[0:1 + 1e-9:dx, 0:1 + 1e-9:dx]
+    x, y = x.ravel(), y.ravel()
+    rng = np.random.RandomState(7)
+    p = 100.0 * (1.0 + rng.rand(x.size))
+
+    def build():
+        pa = get_particle_array_isph(
+            name='fluid', x=x, y=y, m=1.0, rho=1000.0, h=1.3 * dx,
+            p=p.copy())
+        pa.rho0[:] = 1000.0
+        return pa
+
+    def accel(eq_cls, rho_scale):
+        pa = build()
+        pa.rho[:] = 1000.0 * rho_scale
+        ev = SPHEvaluator(
+            [pa], [Group(equations=[eq_cls('fluid', ['fluid'])])],
+            dim=2, kernel=CubicSpline(dim=2))
+        ev.evaluate(t=0.0, dt=1e-4)
+        return np.asarray(pa.au), np.asarray(pa.av)
+
+    au_m, av_m = accel(MomentumEquationPressureGradientSymmetricMirror,
+                       1.0)
+    au_s, av_s = accel(MomentumEquationPressureGradientSymmetric, 1.0)
+    assert np.allclose(au_m, au_s, rtol=1e-6, atol=1e-10)
+    assert np.allclose(av_m, av_s, rtol=1e-6, atol=1e-10)
+    # dilute the particles below the free-surface threshold: the
+    # mirror branch must engage (answers diverge but stay finite)
+    au_m2, av_m2 = accel(
+        MomentumEquationPressureGradientSymmetricMirror, 0.9)
+    au_s2, _ = accel(MomentumEquationPressureGradientSymmetric, 0.9)
+    assert np.isfinite(au_m2).all() and np.isfinite(av_m2).all()
+    assert not np.allclose(au_m2, au_s2, rtol=1e-3)
+
+
+def test_exact_riemann_sample():
+    """exact() + sample() reproduce Toro's Sod-tube solution
+    (reference riemann_solver.py:176,289): star state and the
+    sampled regions at t=0.25."""
+    import jax.numpy as jnp
+
+    from pysph_tpu.sph.gas_dynamics.riemann_solver import exact, sample
+    pm, um = exact(1.0, 0.125, 1.0, 0.1, 0.0, 0.0, gamma=1.4)
+    pm, um = float(pm), float(um)
+    # Toro table 4.1
+    assert abs(pm - 0.30313) < 1e-4
+    assert abs(um - 0.92745) < 1e-4
+    t = 0.25
+    # regions at t=0.25: fan tail at s=-1.18..s=-0.07, star-left up
+    # to the contact s=um=0.927, star-right to the shock s=1.752
+    xs = jnp.asarray([-0.4, -0.1, 0.1, 0.3, 0.45])
+    rho, u, pr = sample(pm, um, xs / t, 1.0, 0.125, 1.0, 0.1,
+                        0.0, 0.0, gamma=1.4)
+    rho, u, pr = map(np.asarray, (rho, u, pr))
+    # left data state
+    assert abs(rho[0] - 1.0) < 1e-6 and abs(u[0]) < 1e-6
+    # inside the left fan: between left and star-left densities
+    assert 0.42632 < rho[1] < 1.0
+    # star-left plateau
+    assert abs(rho[2] - 0.42632) < 1e-4 and abs(pr[2] - pm) < 1e-6
+    # star-right plateau
+    assert abs(rho[3] - 0.26557) < 1e-4 and abs(u[3] - um) < 1e-6
+    # right data state (beyond the shock at s=1.7522)
+    assert abs(rho[4] - 0.125) < 1e-6 and abs(pr[4] - 0.1) < 1e-6
