@@ -282,3 +282,263 @@ def test_elliptical_drop_semi_major_axis():
     # the reference example reports ~1.8% discretization error at
     # nx=40 (semi-major exact ~1.0404); allow 3%.
     assert abs(computed - exact) / exact < 0.03, (computed, exact)
+
+
+# ---------------------------------------------------------------------------
+# BASELINE.md gate configs: dam_break_2d (Adami wall BC) + taylor_green
+# ---------------------------------------------------------------------------
+def _gauss2d(dx, dy, h):
+    """Gaussian kernel terms (dim=2, reference base/kernels.py:830):
+    returns (W, dW/dx, dW/dy) for equal smoothing lengths."""
+    r2 = dx * dx + dy * dy
+    r = np.sqrt(r2)
+    q = r / h
+    fac = 1.0 / (np.pi * h * h)
+    w = np.where(q <= 3.0, fac * np.exp(-q * q), 0.0)
+    dwdq = np.where(q <= 3.0, -2.0 * q * w, 0.0)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        tmp = np.where(r > 1e-12, dwdq / (h * r), 0.0)
+    return w, tmp * dx, tmp * dy
+
+
+def test_dam_break_2d_adami_wall_bc_1e6():
+    """dam_break_2d gate (BASELINE.md): the Adami generalized wall BC
+    (reference wc/transport_velocity.py:641 SolidWallPressureBC, :84
+    SetWallVelocity, :548 SolidWallNoSlipBC) + Monaghan momentum with
+    a wall source, against an independent float64 all-pairs numpy
+    oracle at 1e-6 relative L2 on wall p/rho and fluid au/av."""
+    from pysph_tpu.base.kernels import Gaussian
+    from pysph_tpu.base.utils import get_particle_array
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.basic import MomentumEquation, TaitEOS
+    from pysph_tpu.sph.wc.transport_velocity import (
+        SetWallVelocity, SolidWallNoSlipBC, SolidWallPressureBC,
+        VolumeSummation)
+    from pysph_tpu.tools.sph_evaluator import SPHEvaluator
+
+    dx = 0.05
+    rho0, c0, gamma, g = 1000.0, 40.0, 7.0, -9.81
+    p0 = rho0 * c0 * c0 / gamma
+    nu, alpha = 1e-4, 0.1
+    # fluid block resting on a two-layer floor
+    xf, yf = np.mgrid[dx / 2:0.4:dx, dx / 2:0.3:dx]
+    xf, yf = xf.ravel(), yf.ravel()
+    rng = np.random.RandomState(3)
+    rhof = rho0 * (1.0 + 0.02 * rng.rand(xf.size))
+    uf_ = 0.1 * rng.randn(xf.size)
+    vf_ = 0.1 * rng.randn(xf.size)
+    xb, yb = np.mgrid[-2 * dx:0.4 + 2 * dx:dx,
+                      -dx / 2:-2 * dx - dx:-dx]
+    xb, yb = xb.ravel(), yb.ravel()
+    h = 1.3 * dx
+    m = rho0 * dx * dx
+    extra = dict(V=0.0, uf=0.0, vf=0.0, wf=0.0, wij=0.0, ug=0.0,
+                 vg=0.0, wg=0.0, auhat=0.0, avhat=0.0, awhat=0.0,
+                 cs=0.0, dt_cfl=0.0, dt_force=0.0, au=0.0, av=0.0,
+                 aw=0.0)
+    fluid = get_particle_array(
+        name='fluid', x=xf, y=yf, m=m, rho=rhof, h=h, u=uf_, v=vf_,
+        p=0.0, **extra)
+    wall = get_particle_array(
+        name='wall', x=xb, y=yb, m=m, rho=rho0, h=h, p=0.0, **extra)
+    eqs = [
+        Group(equations=[
+            TaitEOS('fluid', None, rho0=rho0, c0=c0, gamma=gamma),
+            VolumeSummation('fluid', ['fluid', 'wall']),
+            VolumeSummation('wall', ['fluid', 'wall']),
+        ], real=False),
+        # separate groups, as the reference's TVFScheme does
+        # (scheme.py:637,643): both accumulate d_wij
+        Group(equations=[SetWallVelocity('wall', ['fluid'])],
+              real=False),
+        Group(equations=[SolidWallPressureBC('wall', ['fluid'],
+                                             rho0=rho0, p0=p0, gy=g)],
+              real=False),
+        Group(equations=[
+            MomentumEquation('fluid', ['fluid', 'wall'], c0=c0,
+                             alpha=alpha, beta=0.0, gy=g),
+            SolidWallNoSlipBC('fluid', ['wall'], nu=nu),
+        ]),
+    ]
+    ev = SPHEvaluator([fluid, wall], eqs, dim=2,
+                      kernel=Gaussian(dim=2))
+    ev.evaluate(t=0.0, dt=1e-4)
+
+    # ---- float64 numpy oracle (all pairs) ----
+    B = rho0 * c0 * c0 / gamma
+    pf = B * ((rhof / rho0) ** gamma - 1.0)
+    csf = c0 * (rhof / rho0) ** (0.5 * (gamma - 1.0))
+    xall = np.concatenate([xf, xb])
+    yall = np.concatenate([yf, yb])
+    nf = xf.size
+
+    def WDW(xd, yd, xs, ys):
+        return _gauss2d(xd[:, None] - xs[None, :],
+                        yd[:, None] - ys[None, :], h)
+
+    w_aa, _, _ = WDW(xall, yall, xall, yall)
+    V_all = np.sum(w_aa, axis=1)           # number density, everyone
+    w_bf, _, _ = WDW(xb, yb, xf, yf)
+    wij_b = np.sum(w_bf, axis=1)
+    has = wij_b > 1e-12
+    den = np.where(has, wij_b, 1.0)
+    ufw = np.where(has, w_bf @ uf_ / den, 0.0)
+    vfw = np.where(has, w_bf @ vf_ / den, 0.0)
+    ug = -ufw                              # wall at rest: 2*0 - uf
+    vg = -vfw
+    # Adami wall pressure: XIJ = x_wall - x_fluid, wall accel = 0
+    gdotx = g * (yb[:, None] - yf[None, :])
+    pw_num = np.sum(w_bf * (pf[None, :] + rhof[None, :] * gdotx),
+                    axis=1)
+    den_p = np.where(wij_b > 1e-14, wij_b, 1.0)
+    pw = np.where(wij_b > 1e-14, pw_num / den_p, 0.0)
+    rhow = rho0 * (pw / p0 + 1.0)
+
+    # fluid momentum: sources fluid + wall (wall cs = 0, Tait skipped)
+    pall = np.concatenate([pf, pw])
+    rhoall = np.concatenate([rhof, rhow])
+    csall = np.concatenate([csf, np.zeros(xb.size)])
+    uall = np.concatenate([uf_, np.zeros(xb.size)])
+    vall = np.concatenate([vf_, np.zeros(xb.size)])
+    dxp = xf[:, None] - xall[None, :]
+    dyp = yf[:, None] - yall[None, :]
+    du = uf_[:, None] - uall[None, :]
+    dv = vf_[:, None] - vall[None, :]
+    w, dwx, dwy = _gauss2d(dxp, dyp, h)
+    r2 = dxp * dxp + dyp * dyp
+    eps = 0.01 * h * h
+    vdotx = du * dxp + dv * dyp
+    rhoij1 = 2.0 / (rhof[:, None] + rhoall[None, :])
+    cij = 0.5 * (csf[:, None] + csall[None, :])
+    muij = h * vdotx / (r2 + eps)
+    piij = np.where(vdotx < 0, (-alpha * cij * muij) * rhoij1, 0.0)
+    tmp = (pf / rhof ** 2)[:, None] + (pall / rhoall ** 2)[None, :]
+    au = np.sum(-m * (tmp + piij) * dwx, axis=1)
+    av = np.sum(-m * (tmp + piij) * dwy, axis=1) + g
+    # no-slip viscous wall force
+    dxw = xf[:, None] - xb[None, :]
+    dyw = yf[:, None] - yb[None, :]
+    ww, dwxw, dwyw = _gauss2d(dxw, dyw, h)
+    r2w = dxw * dxw + dyw * dyw
+    eta_f = nu * rhof
+    eta_w = nu * rhow
+    etaij = 2.0 * (eta_f[:, None] * eta_w[None, :]) / \
+        (eta_f[:, None] + eta_w[None, :])
+    Fij = dxw * dwxw + dyw * dwyw
+    Vi = (1.0 / V_all[:nf]) ** 2
+    Vj = (1.0 / V_all[nf:]) ** 2
+    fac = (1.0 / m) * (Vi[:, None] + Vj[None, :]) * etaij * Fij / \
+        (r2w + eps)
+    au += np.sum(fac * (uf_[:, None] - ug[None, :]), axis=1)
+    av += np.sum(fac * (vf_[:, None] - vg[None, :]), axis=1)
+
+    assert _rel_l2(np.asarray(wall.p), pw) <= 1e-6
+    assert _rel_l2(np.asarray(wall.rho), rhow) <= 1e-6
+    assert _rel_l2(np.asarray(fluid.au), au) <= 1e-6
+    assert _rel_l2(np.asarray(fluid.av), av) <= 1e-6
+
+
+def test_taylor_green_periodic_tvf_1e6():
+    """taylor_green gate (BASELINE.md): the periodic TVF pipeline
+    (SummationDensity -> StateEquation -> pressure gradient +
+    viscosity + artificial stress; reference
+    wc/transport_velocity.py:24,176,219,328,451) on a fully periodic
+    box, against a float64 minimum-image all-pairs oracle at 1e-6
+    relative L2 on rho/p/au/av/auhat."""
+    from pysph_tpu.base.domain import DomainManager
+    from pysph_tpu.base.kernels import Gaussian
+    from pysph_tpu.base.utils import get_particle_array
+    from pysph_tpu.sph.equation import Group
+    from pysph_tpu.sph.wc.transport_velocity import (
+        MomentumEquationArtificialStress,
+        MomentumEquationPressureGradient, MomentumEquationViscosity,
+        StateEquation, SummationDensity)
+    from pysph_tpu.tools.sph_evaluator import SPHEvaluator
+
+    L = 1.0
+    nx = 12
+    dx = L / nx
+    rho0, U = 1.0, 1.0
+    c0 = 10.0 * U
+    p0 = c0 * c0 * rho0
+    nu = 0.01
+    xg, yg = np.mgrid[dx / 2:L:dx, dx / 2:L:dx]
+    x, y = xg.ravel(), yg.ravel()
+    rng = np.random.RandomState(11)
+    x = (x + 0.05 * dx * rng.randn(x.size)) % L
+    y = (y + 0.05 * dx * rng.randn(y.size)) % L
+    u = -U * np.cos(2 * np.pi * x) * np.sin(2 * np.pi * y)
+    v = U * np.sin(2 * np.pi * x) * np.cos(2 * np.pi * y)
+    uhat = u * 1.02
+    vhat = v * 0.98
+    h = 1.2 * dx
+    m = rho0 * dx * dx
+    fluid = get_particle_array(
+        name='fluid', x=x, y=y, m=m, rho=rho0, h=h, u=u, v=v, p=0.0,
+        V=0.0, uhat=uhat, vhat=vhat, what=0.0, au=0.0, av=0.0, aw=0.0,
+        auhat=0.0, avhat=0.0, awhat=0.0)
+    dom = DomainManager(xmin=0, xmax=L, ymin=0, ymax=L,
+                        periodic_in_x=True, periodic_in_y=True)
+    eqs = [
+        Group(equations=[SummationDensity('fluid', ['fluid'])],
+              real=False),
+        Group(equations=[StateEquation('fluid', None, p0=p0,
+                                       rho0=rho0, b=1.0)],
+              real=False),
+        Group(equations=[
+            MomentumEquationPressureGradient('fluid', ['fluid'],
+                                             pb=p0),
+            MomentumEquationViscosity('fluid', ['fluid'], nu=nu),
+            MomentumEquationArtificialStress('fluid', ['fluid']),
+        ]),
+    ]
+    ev = SPHEvaluator([fluid], eqs, dim=2, kernel=Gaussian(dim=2),
+                      domain_manager=dom)
+    ev.evaluate(t=0.0, dt=1e-4)
+
+    # ---- float64 minimum-image all-pairs oracle ----
+    def mi(d):
+        return d - L * np.round(d / L)
+
+    dxp = mi(x[:, None] - x[None, :])
+    dyp = mi(y[:, None] - y[None, :])
+    w, dwx, dwy = _gauss2d(dxp, dyp, h)
+    V = np.sum(w, axis=1)
+    rho = m * V
+    p = p0 * (rho / rho0 - 1.0)
+    pij = (rho[None, :] * p[:, None] + rho[:, None] * p[None, :]) / \
+        (rho[:, None] + rho[None, :])
+    Vi2 = (1.0 / V) ** 2
+    fac = (Vi2[:, None] + Vi2[None, :]) / m
+    au = np.sum(-pij * fac * dwx, axis=1)
+    av = np.sum(-pij * fac * dwy, axis=1)
+    auhat = np.sum(-p0 * fac * dwx, axis=1)
+    # viscosity
+    r2 = dxp * dxp + dyp * dyp
+    eps = 0.01 * h * h
+    eta = nu * rho
+    etaij = 2.0 * eta[:, None] * eta[None, :] / \
+        (eta[:, None] + eta[None, :])
+    Fij = dxp * dwx + dyp * dwy
+    du = u[:, None] - u[None, :]
+    dv = v[:, None] - v[None, :]
+    visc = fac * etaij * Fij / (r2 + eps)
+    au += np.sum(visc * du, axis=1)
+    av += np.sum(visc * dv, axis=1)
+    # artificial stress
+    dui = uhat - u
+    dvi = vhat - v
+    Ax = 0.5 * ((rho * u * dui)[:, None] + (rho * u * dui)[None, :]) \
+        * dwx + 0.5 * ((rho * u * dvi)[:, None] +
+                       (rho * u * dvi)[None, :]) * dwy
+    Ay = 0.5 * ((rho * v * dui)[:, None] + (rho * v * dui)[None, :]) \
+        * dwx + 0.5 * ((rho * v * dvi)[:, None] +
+                       (rho * v * dvi)[None, :]) * dwy
+    au += np.sum(fac * Ax, axis=1)
+    av += np.sum(fac * Ay, axis=1)
+
+    assert _rel_l2(np.asarray(fluid.rho), rho) <= 1e-6
+    assert _rel_l2(np.asarray(fluid.p), p) <= 1e-6
+    assert _rel_l2(np.asarray(fluid.au), au) <= 1e-6
+    assert _rel_l2(np.asarray(fluid.av), av) <= 1e-6
+    assert _rel_l2(np.asarray(fluid.auhat), auhat) <= 1e-6
