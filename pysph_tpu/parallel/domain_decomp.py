@@ -138,7 +138,7 @@ class BlockPartition(object):
 
     def __init__(self, shape, lo, hi, axis='x', axes=None,
                  periodic=False, halo_factor=1.1,
-                 buffer_capacity=None):
+                 buffer_capacity=None, edges=None):
         if np.isscalar(shape):
             shape = (int(shape),)
         self.shape = tuple(int(s) for s in shape)
@@ -152,6 +152,19 @@ class BlockPartition(object):
         self.halo_factor = float(halo_factor)
         self.widths = tuple((h - l) / s for l, h, s in
                             zip(self.los, self.his, self.shape))
+        # particle-weighted split planes (see ``weighted``): per-axis
+        # ascending arrays of shape[a] + 1 coordinates.  None = equal
+        # widths (edges derived from lo/hi).
+        if edges is not None:
+            edges = tuple(np.asarray(e, np.float64) for e in edges)
+            for a, e in enumerate(edges):
+                if e.shape != (self.shape[a] + 1,):
+                    raise ValueError(
+                        'edges[%d] needs %d values' %
+                        (a, self.shape[a] + 1))
+                if np.any(np.diff(e) <= 0):
+                    raise ValueError('edges must be increasing')
+        self.edges = edges
         self.n_blocks = int(np.prod(self.shape))
         self.buffer_capacity = buffer_capacity
         for s, per in zip(self.shape, self.periodics):
@@ -160,6 +173,78 @@ class BlockPartition(object):
                     'a periodic partition axis needs >= 2 blocks '
                     '(single-block periodicity belongs to the '
                     'DomainManager, not the partition)')
+
+    @classmethod
+    def weighted(cls, shape, coords, axes=None, lo=None, hi=None,
+                 pad=1e-6, min_frac=0.05, **kw):
+        """Particle-weighted static partition: per-axis split planes
+        at the coordinate quantiles, so every slab owns ~equal
+        particle counts at setup — the static analog of one Zoltan
+        RCB pass over particle-weighted cells (reference
+        parallel/parallel_manager.pyx:1245,532-613).  The tensor-
+        product edge structure (unlike true RCB's nested cuts) keeps
+        the block-neighbor topology a plain grid, so the ppermute
+        halo/migration sweeps are unchanged.
+
+        ``coords``: list of per-axis numpy coordinate arrays (all
+        particles of all arrays concatenated).  ``min_frac`` floors
+        each slab at that fraction of the equal-width slab so empty
+        regions cannot produce degenerate (thinner-than-halo)
+        blocks."""
+        if np.isscalar(shape):
+            shape = (int(shape),)
+        shape = tuple(int(s) for s in shape)
+        ndim = len(shape)
+        los = []
+        his = []
+        edges = []
+        for a in range(ndim):
+            c = np.asarray(coords[a], np.float64)
+            l = float(np.min(c)) - pad if lo is None \
+                else _as_tuple(lo, ndim)[a]
+            h = float(np.max(c)) + pad if hi is None \
+                else _as_tuple(hi, ndim)[a]
+            s = shape[a]
+            q = np.quantile(c, np.linspace(0.0, 1.0, s + 1))
+            e = np.clip(q, l, h)
+            e[0], e[-1] = l, h
+            # enforce monotone + minimum slab width (halo validity)
+            wmin = min_frac * (h - l) / s
+            for i in range(1, s + 1):
+                e[i] = max(e[i], e[i - 1] + wmin)
+            e = np.minimum(e, h)
+            for i in range(s - 1, -1, -1):
+                e[i] = min(e[i], e[i + 1] - wmin)
+            e[0], e[-1] = l, h
+            los.append(l)
+            his.append(h)
+            edges.append(e)
+        return cls(shape, tuple(los), tuple(his), axes=axes,
+                   edges=tuple(edges), **kw)
+
+    # ---- per-block bounds (weighted-aware) ----------------------------
+    def edge_array(self, a):
+        """(shape[a] + 1,) split planes for axis ``a``."""
+        if self.edges is not None:
+            return self.edges[a]
+        return self.los[a] + self.widths[a] * np.arange(
+            self.shape[a] + 1)
+
+    def block_lo_hi(self, a, me):
+        """Traced (lo, hi) of block ``me`` along axis ``a``."""
+        e = jnp.asarray(self.edge_array(a))
+        return e[me], e[me + 1]
+
+    def min_width(self):
+        return min(float(np.min(np.diff(self.edge_array(a))))
+                   for a in range(self.ndim))
+
+    def imbalance(self, pa_coords):
+        """(max/mean, counts) block occupancy over the given
+        particle coordinates — the load-balance quality metric."""
+        flat = self.block_of_np(pa_coords)
+        counts = np.bincount(flat, minlength=self.n_blocks)
+        return float(counts.max() / max(counts.mean(), 1e-12)), counts
 
     # ---- 1-D backward-compat aliases ---------------------------------
     @property
@@ -187,6 +272,13 @@ class BlockPartition(object):
         return len(self.shape)
 
     def block_of_axis(self, a, coord):
+        if self.periodics[a]:
+            span = self.his[a] - self.los[a]
+            coord = self.los[a] + jnp.mod(coord - self.los[a], span)
+        if self.edges is not None:
+            inner = jnp.asarray(self.edges[a][1:-1], coord.dtype)
+            return jnp.searchsorted(
+                inner, coord, side='right').astype(jnp.int32)
         b = jnp.floor((coord - self.los[a]) /
                       self.widths[a]).astype(jnp.int32)
         if self.periodics[a]:
@@ -202,11 +294,16 @@ class BlockPartition(object):
         numpy coordinate arrays (host-side, for distribute())."""
         flat = np.zeros(pa_coords[0].shape, dtype=np.int64)
         for a in range(self.ndim):
-            b = np.floor((pa_coords[a] - self.los[a]) /
-                         self.widths[a]).astype(np.int64)
+            c = np.asarray(pa_coords[a])
             if self.periodics[a]:
-                b = np.mod(b, self.shape[a])
+                span = self.his[a] - self.los[a]
+                c = self.los[a] + np.mod(c - self.los[a], span)
+            if self.edges is not None:
+                b = np.searchsorted(self.edges[a][1:-1], c,
+                                    side='right').astype(np.int64)
             else:
+                b = np.floor((c - self.los[a]) /
+                             self.widths[a]).astype(np.int64)
                 b = np.clip(b, 0, self.shape[a] - 1)
             flat = flat * self.shape[a] + b
         return flat
@@ -377,7 +474,7 @@ class BlockExchange(object):
         halo_w = part.halo_factor * self.radius_scale * hmax
         # a halo wider than a block would need next-nearest-neighbor
         # exchange; surface it rather than silently under-resolving
-        min_w = min(w for w in part.widths)
+        min_w = part.min_width()
         self._merge_diag('halo_width_overflow', halo_w > min_w)
 
         out = {}
@@ -407,8 +504,7 @@ class BlockExchange(object):
             # edge/corner ghost regions (two axis-aligned hops)
             for a in range(ndim):
                 me = jax.lax.axis_index(self.axis_names[a])
-                my_lo = part.los[a] + me * part.widths[a]
-                my_hi = my_lo + part.widths[a]
+                my_lo, my_hi = part.block_lo_hi(a, me)
                 act = jnp.arange(cap, dtype=jnp.int32) < state['n_act']
                 c = state[part.axes[a]]
                 near_hi = act & (c >= my_hi - halo_w)

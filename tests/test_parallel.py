@@ -520,3 +520,74 @@ def test_distributed_dam_break_3d():
         np.testing.assert_allclose(
             np.asarray(getattr(fluid_d, p))[order_d], ref[p],
             rtol=1e-8, atol=1e-10, err_msg=p)
+
+
+def test_weighted_partition_imbalance():
+    """Particle-weighted split planes (static RCB analog, reference
+    parallel_manager.pyx:1245): a dam-break-like lopsided density must
+    partition at max/mean occupancy <= 2 where equal-volume blocks
+    sit near n_blocks."""
+    rng = np.random.RandomState(5)
+    # 90% of particles in the left 1/8 of the domain (dam column)
+    n = 4000
+    xl = rng.uniform(0.0, 0.25, int(0.9 * n))
+    xr = rng.uniform(0.25, 2.0, n - xl.size)
+    x = np.concatenate([xl, xr])
+    y = rng.uniform(0.0, 0.5, n)
+
+    eq = BlockPartition(8, 0.0, 2.0, axis='x')
+    imb_eq, _ = eq.imbalance([x])
+    w = BlockPartition.weighted(8, [x], lo=0.0, hi=2.0, axes=('x',))
+    imb_w, counts = w.imbalance([x])
+    assert imb_eq > 4.0, 'equal-volume baseline unexpectedly balanced'
+    assert imb_w <= 2.0, 'weighted imbalance %.2f' % imb_w
+    assert counts.sum() == n
+    # edges must be monotone and span the domain
+    e = w.edge_array(0)
+    assert e[0] == 0.0 and e[-1] == 2.0
+    assert np.all(np.diff(e) > 0)
+
+
+def test_serial_vs_sharded_weighted_partition():
+    """Physics invariance under the weighted partition: same bar as
+    test_serial_vs_sharded_equality but with quantile split planes
+    (non-uniform block widths exercise the edge-aware migration and
+    halo bounds)."""
+    n_blocks = 4
+    if len(jax.devices()) < n_blocks:
+        pytest.skip('not enough devices')
+    n_steps, dt = 3, 1e-4
+
+    pa_serial = _make_particles()
+    serial = _run_serial(pa_serial, n_steps, dt)
+    n = int(serial['fluid']['n_act'])
+    sx, sy = _sorted_by_gid(np.asarray(serial['fluid']['x'])[:n],
+                            np.asarray(serial['fluid']['y'])[:n],
+                            np.asarray(serial['fluid']['gid'])[:n])
+    srho = np.asarray(serial['fluid']['rho'])[:n][
+        np.argsort(np.asarray(serial['fluid']['gid'])[:n])]
+
+    pa_dist = _make_particles()
+    integ = _make_integrator(pa_dist)
+    partition = BlockPartition.weighted(
+        n_blocks, [np.asarray(pa_dist.x)], lo=0.0, hi=2.0,
+        axes=('x',))
+    assert partition.edges is not None
+    runner = DistributedRunner(integ, partition,
+                               devices=jax.devices()[:n_blocks],
+                               buffer_capacity=512)
+    gstates = runner.distribute([pa_dist])
+    t = 0.0
+    for i in range(n_steps):
+        gstates, dt_next, diag = runner.step(gstates, t, dt)
+        assert not bool(diag['cell_overflow'])
+        assert not bool(diag['capacity_overflow'])
+        t += dt
+    runner.collect(gstates, [pa_dist])
+
+    assert pa_dist.get_number_of_particles() == n
+    dx_, dy_ = _sorted_by_gid(pa_dist.x, pa_dist.y, pa_dist.gid)
+    drho = pa_dist.rho[np.argsort(pa_dist.gid)]
+    np.testing.assert_allclose(dx_, sx, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(dy_, sy, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(drho, srho, rtol=1e-9)
