@@ -252,8 +252,12 @@ class ResidentPlan(object):
                             states[name][p].dtype == jnp.bool_):
                         raise PallasIneligible(
                             'mixed float dtype prop %r' % p)
-            srcs = sorted((self.src_read[name] | set(_XYZH)) -
-                          set(schema.consts))
+            srcs_set = (self.src_read[name] | set(_XYZH)) - \
+                set(schema.consts)
+            # x/y/z/h first: every pair phase reads them (windows,
+            # symbols), so phase-subset DMA widths stay minimal
+            srcs = [p for p in _XYZH if p in srcs_set] + \
+                sorted(srcs_set - set(_XYZH))
             rest = sorted(props - set(srcs))
             planes = tuple(srcs + rest)
             M = spec.capacity_for(name)
@@ -504,7 +508,11 @@ class _RkMeta(NamedTuple):
     Md: int
     d_planes: tuple        # prop names, pack plane order
     d_const_list: tuple
-    src_metas: tuple       # (name, planes, n_src, M, const_list, K)
+    # per fused source phase:
+    # (name, use_planes, pack_idx, Ms, const_list, K) — use_planes
+    # lists only the props THIS phase's equations read (plus x/y/z/h
+    # for the union prune); pack_idx maps each to its pack plane
+    src_metas: tuple
     out_props: tuple
     out_ops: tuple         # dict as tuple of pairs
     oys: tuple
@@ -577,11 +585,11 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
     d_ref = next(it)                 # (1, R, (1 + Pd) * Md)
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
     srcs = []
-    for (sname, planes, n_src, Ms, const_list, K) in src_metas:
+    for (sname, planes, pack_idx, Ms, const_list, K) in src_metas:
         s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
         s_consts = {('s', p): next(it)[0] for p in const_list}
-        srcs.append((s_ref, planes, n_src, Ms, s_consts, const_list,
-                     K))
+        srcs.append((s_ref, planes, pack_idx, Ms, s_consts,
+                     const_list, K))
     out_ref = next(it)      # (1, R, (1 + Pd) * Md), aliased to d_ref
     exc_ref = None
     if any(s[6] is not None for s in srcs):
@@ -619,9 +627,9 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                                          exc_scratch.dtype)
 
     def _strip27(si, pi):
-        """(R, 27*Ms) lane-concat of plane ``pi`` over the full
+        """(R, 27*Ms) lane-concat of PACK plane ``pi`` over the full
         stencil: 9 (oy, ox) views x 3 z-shifts, in a fixed order."""
-        (s_ref, planes, n_src, Ms, _sc, _scl, _K) = srcs[si]
+        (s_ref, planes, pack_idx, Ms, _sc, _scl, _K) = srcs[si]
         cols = []
         for oy in oys:
             for ox in oxs:
@@ -636,19 +644,15 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         ``si`` (same prune semantics as pallas_engine._union_windows:
         exact distance to the dest pencil-cell AABB is a conservative
         superset of every per-pair max(hi, hj) support test)."""
-        (s_ref, planes, n_src, Ms, _sc, _scl, K) = srcs[si]
+        (s_ref, planes, pack_idx, Ms, _sc, _scl, K) = srcs[si]
         fdt = d_ref.dtype
         wmask = _strip27(si, 0)
         C = wmask.shape[-1]
         K = min(K, C)
-        ix = planes.index('x')
-        iy = planes.index('y')
-        iz = planes.index('z')
-        ih = planes.index('h')
-        wx = _strip27(si, 1 + ix)
-        wy = _strip27(si, 1 + iy)
-        wz = _strip27(si, 1 + iz)
-        wh = _strip27(si, 1 + ih)
+        wx = _strip27(si, pack_idx[planes.index('x')])
+        wy = _strip27(si, pack_idx[planes.index('y')])
+        wz = _strip27(si, pack_idx[planes.index('z')])
+        wh = _strip27(si, pack_idx[planes.index('h')])
         o_i, o_j, o_z = scal[0, 2], scal[0, 3], scal[0, 4]
         w_i, w_j, w_z = scal[0, 5], scal[0, 6], scal[0, 7]
         cc_i = o_i + (bi_ref[a].astype(fdt) + 0.5) * w_i
@@ -675,20 +679,19 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         sup = radius_scale * jnp.maximum(hrow, wh)
         flag = jnp.where((d2 <= sup * sup) & (wmask > 0.0),
                          1, 0).astype(jnp.int32)
-        n_keep = 1 + n_src
         if K >= C:
             ff = flag.astype(fdt)
-            pk = {p: _strip27(si, 1 + pi)
-                  for pi, p in enumerate(planes[:n_src])}
+            pk = {p: _strip27(si, pack_idx[i])
+                  for i, p in enumerate(planes)}
             return pk, ff * wmask, jnp.zeros((R, 1), fdt)
-        vals = [wmask] + [_strip27(si, 1 + pi)
-                          for pi in range(n_src)]
+        vals = [wmask] + [_strip27(si, pack_idx[i])
+                          for i in range(len(planes))]
         packed, count = _left_pack(flag, vals, K)
         excess = jnp.maximum(count - K, 0).astype(fdt)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
         pmaskf = jnp.where(k_iota < count, 1.0, 0.0).astype(fdt)
-        pk = {p: packed[1 + pi] * pmaskf
-              for pi, p in enumerate(planes[:n_src])}
+        pk = {p: packed[1 + i] * pmaskf
+              for i, p in enumerate(planes)}
         return pk, pmaskf * packed[0], excess
 
     def _run_rows(eqs, dcols_c, dm_c, scat, smf, consts, planes,
@@ -714,8 +717,9 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         if _DEBUG == 'floor':
             return
         out_idx = {p: po for po, p in enumerate(out_props)}
-        for si, ((s_ref, planes, n_src, Ms, s_consts, s_const_list,
-                  K), eqs) in enumerate(zip(srcs, eqs_list)):
+        for si, ((s_ref, planes, pack_idx, Ms, s_consts,
+                  s_const_list, K), eqs) in enumerate(zip(srcs,
+                                                          eqs_list)):
             consts = {}
             consts.update(d_consts)
             consts.update(s_consts)
@@ -727,7 +731,8 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                         sm0 = ref[0][:, 0:Ms]
                         src_any = jnp.sum(sm0) > 0.0
 
-                        def _phase(ref=ref, planes=planes, Ms=Ms,
+                        def _phase(ref=ref, planes=planes,
+                                   pack_idx=pack_idx, Ms=Ms,
                                    eqs=eqs, sm0=sm0):
                             strips = {}
 
@@ -745,20 +750,21 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                                         strips[pi] = v
                                 return strips[pi]
 
-                            # materialize every source plane HERE, at
-                            # the _phase trace level: a strip first
-                            # built lazily inside one pl.when(_chunk)
-                            # cond trace and reused by a sibling chunk
-                            # leaks that trace's tracers into the
-                            # kernel jaxpr as captured constants
-                            # (pallas rejects the kernel)
+                            # materialize every plane THIS phase
+                            # reads HERE, at the _phase trace level:
+                            # a strip first built lazily inside one
+                            # pl.when(_chunk) cond trace and reused
+                            # by a sibling chunk leaks that trace's
+                            # tracers into the kernel jaxpr as
+                            # captured constants (pallas rejects the
+                            # kernel)
                             smf = strip3(0)
-                            for _pi in range(1, 1 + len(planes)):
+                            for _pi in pack_idx:
                                 strip3(_pi)
 
                             def scat(prop):
                                 return strip3(
-                                    1 + planes.index(prop))
+                                    pack_idx[planes.index(prop)])
 
                             for r0 in range(0, R, cz):
                                 sl = slice(r0, r0 + cz)
@@ -962,12 +968,20 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
                 K = Kc
                 window_any = True
                 Kmax = max(Kmax, K)
-        # source views DMA only the src segment.  Mosaic requires a
-        # lane-partial block's width to be a multiple of 128 (or equal
-        # to the array's); round the segment up (extra lanes carry the
-        # next planes — harmless), falling back to the full width.
+        # phase-subset planes: only the props THIS phase's equations
+        # read (x/y/z/h always — window prune + symbols); strips,
+        # left-packs and the view DMA skip the rest
+        s_read = set(rec.sources[len(src_metas)][0])
+        use = tuple(p for p in sap.planes[:n_src]
+                    if p in s_read or p in _XYZH)
+        pack_idx = tuple(1 + sap.planes.index(p) for p in use)
+        # source views DMA only up to the highest used plane.  Mosaic
+        # requires a lane-partial block's width to be a multiple of
+        # 128 (or equal to the array's); round the segment up (extra
+        # lanes carry the next planes — harmless), falling back to
+        # the full width.
         full_l = (1 + len(sap.planes)) * Ms
-        seg_l = (1 + n_src) * Ms
+        seg_l = (1 + max(pack_idx)) * Ms
         if seg_l != full_l and seg_l % 128:
             seg_l = min(_pad_up(seg_l, 128), full_l)
         spec_blk = (1, R, seg_l)
@@ -984,7 +998,7 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
             c = jnp.asarray(sstore.flat[p]).reshape(1, -1)
             ins.append(c)
             in_specs.append(pl.BlockSpec(c.shape, const_map))
-        src_metas.append((src_name, sap.planes[:n_src], n_src, Ms,
+        src_metas.append((src_name, use, pack_idx, Ms,
                           tuple(s_const_list), K))
         eqs_list.append(eqs)
 
