@@ -49,24 +49,37 @@ EXCHANGE_DIAG_KEYS = ('exchange_overflow', 'capacity_overflow',
                       'migration_multihop', 'halo_width_overflow')
 
 
-def _select_rows(state, prop_names, cond, capacity):
-    """Pack up to ``capacity`` rows where cond holds; returns
-    (packed dict, count, overflow_count)."""
+def _select_idx(cond, capacity):
+    """Indices of up to ``capacity`` rows where cond holds; returns
+    (idx, count, total)."""
     cap = cond.shape[0]
     key = jnp.where(cond, jnp.arange(cap, dtype=jnp.int32), INT_MAX)
     order = jnp.argsort(key)[:capacity]
     valid = key[order] < INT_MAX
+    idx = jnp.where(valid, order, 0)
+    total = jnp.sum(cond)
+    return idx, jnp.sum(valid).astype(jnp.int32), total
+
+
+def _gather_rows(state, prop_names, idx, count):
+    """Pack the ``idx`` rows (first ``count`` valid, rest zeroed)."""
+    valid = jnp.arange(idx.shape[0], dtype=jnp.int32) < count
     packed = {}
     for name in prop_names:
-        arr = state[name]
-        rows = arr[order]
+        rows = state[name][idx]
         if rows.ndim == 1:
             rows = jnp.where(valid, rows, 0)
         else:
             rows = jnp.where(valid[:, None], rows, 0)
         packed[name] = rows
-    total = jnp.sum(cond)
-    return packed, jnp.sum(valid).astype(jnp.int32), total
+    return packed
+
+
+def _select_rows(state, prop_names, cond, capacity):
+    """Pack up to ``capacity`` rows where cond holds; returns
+    (packed dict, count, overflow_count)."""
+    idx, count, total = _select_idx(cond, capacity)
+    return _gather_rows(state, prop_names, idx, count), count, total
 
 
 def _compact(state, prop_names, keep):
@@ -110,6 +123,28 @@ def _insert_rows(state, prop_names, packed, count, at, tag):
     return out, overflow
 
 
+def _overwrite_rows(state, prop_names, packed, count, at):
+    """Overwrite ``count`` packed rows starting at ``at`` in place —
+    the values-only halo refresh (rows were placed there by the
+    cache-building full exchange; tags/n_act are already right)."""
+    capacity = packed[next(iter(prop_names))].shape[0]
+    slots = at + jnp.arange(capacity, dtype=jnp.int32)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < count
+    cap = state['x'].shape[0]
+    slots = jnp.where(valid, jnp.minimum(slots, cap - 1), cap - 1)
+    out = dict(state)
+    for name in prop_names:
+        arr = out[name]
+        rows = packed[name]
+        cur = arr[slots]
+        if arr.ndim == 1:
+            vals = jnp.where(valid, rows, cur)
+        else:
+            vals = jnp.where(valid[:, None], rows, cur)
+        out[name] = arr.at[slots].set(vals)
+    return out
+
+
 def _as_tuple(v, n, cast=float):
     if np.isscalar(v) or isinstance(v, str):
         return (cast(v),) * n
@@ -136,8 +171,12 @@ class BlockPartition(object):
     ``DistributedRunner``.
     """
 
+    # halo band = halo_factor * rs * hmax.  The slack over the bare
+    # support radius must cover one full step of CFL-limited drift:
+    # halo membership is snapshotted once per step (update_cached) and
+    # only values are replayed between stages (refresh).
     def __init__(self, shape, lo, hi, axis='x', axes=None,
-                 periodic=False, halo_factor=1.1,
+                 periodic=False, halo_factor=1.25,
                  buffer_capacity=None, edges=None):
         if np.isscalar(shape):
             shape = (int(shape),)
@@ -383,17 +422,30 @@ class BlockExchange(object):
 
     def _send_recv(self, state, prop_names, cond, a, direction):
         """Pack cond-rows, ppermute them one hop along axis ``a``,
-        return (packed, count, send_overflowed)."""
+        return (packed, count, send_overflowed, send_idx, send_count)."""
         cap_buf = self.buffer_capacity
-        packed, count, total = _select_rows(state, prop_names, cond,
-                                            cap_buf)
+        idx, scount, total = _select_idx(cond, cap_buf)
+        packed = _gather_rows(state, prop_names, idx, scount)
         ovf = total > cap_buf
         perm = self._perm(a, direction)
         rpacked, rcount = jax.lax.ppermute(
-            (packed, count), self.axis_names[a], perm)
+            (packed, scount), self.axis_names[a], perm)
         me = jax.lax.axis_index(self.axis_names[a])
         rpacked = self._shift_recv(rpacked, a, direction, me)
-        return rpacked, rcount, ovf
+        return rpacked, rcount, ovf, idx, scount
+
+    def _replay_halo(self, state, prop_names, a, direction, idx,
+                     scount, at):
+        """Values-only halo refresh: re-gather the recorded send rows,
+        ppermute, overwrite the recorded receive slots (row layout,
+        tags, n_act untouched)."""
+        packed = _gather_rows(state, prop_names, idx, scount)
+        perm = self._perm(a, direction)
+        rpacked, rcount = jax.lax.ppermute(
+            (packed, scount), self.axis_names[a], perm)
+        me = jax.lax.axis_index(self.axis_names[a])
+        rpacked = self._shift_recv(rpacked, a, direction, me)
+        return _overwrite_rows(state, prop_names, rpacked, rcount, at)
 
     # ---- migration ---------------------------------------------------
     def _stray_dirs(self, state, a, me):
@@ -431,9 +483,9 @@ class BlockExchange(object):
             act, d = self._stray_dirs(state, a, me)
             go_right = act & (d > 0)
             go_left = act & (d < 0)
-            recv_r, cnt_r, ovf_r = self._send_recv(
+            recv_r, cnt_r, ovf_r, _, _ = self._send_recv(
                 state, props, go_right, a, 'right')
-            recv_l, cnt_l, ovf_l = self._send_recv(
+            recv_l, cnt_l, ovf_l, _, _ = self._send_recv(
                 state, props, go_left, a, 'left')
             state = _compact(state, props, act & ~(go_right | go_left))
             state, iovf1 = _insert_rows(state, props, recv_r, cnt_r,
@@ -456,9 +508,22 @@ class BlockExchange(object):
 
     # ---- the per-eval update ----------------------------------------
     def update(self, states):
+        """Full membership update (see ``update_cached``)."""
+        return self.update_cached(states)[0]
+
+    def update_cached(self, states):
         """Drop stale halos, migrate strays (all axes, multi-hop),
         rebuild halos (all axes, corners via the dimension-ordered
-        sweep).  Pure."""
+        sweep).  Pure.
+
+        Returns ``(states, cache)``: the cache records every halo
+        export's (send rows, receive slot) so later evaluations in the
+        same step can replay it values-only via ``refresh`` —
+        membership drifts at most one CFL displacement per step, well
+        inside the halo band, so the full drop/migrate/re-export is
+        only needed once per step (the reference instead re-runs its
+        whole remote exchange per evaluation,
+        parallel_manager.pyx update)."""
         part = self.partition
         ndim = part.ndim
 
@@ -478,6 +543,7 @@ class BlockExchange(object):
         self._merge_diag('halo_width_overflow', halo_w > min_w)
 
         out = {}
+        cache = {}
         for name, state in states.items():
             props = [p for p in self.schemas[name].props]
             cap = state['x'].shape[0]
@@ -502,6 +568,7 @@ class BlockExchange(object):
             # 3. halo export, dimension-ordered: later axes see the
             # halos already inserted by earlier axes, which fills
             # edge/corner ghost regions (two axis-aligned hops)
+            replay = []
             for a in range(ndim):
                 me = jax.lax.axis_index(self.axis_names[a])
                 my_lo, my_hi = part.block_lo_hi(a, me)
@@ -509,18 +576,49 @@ class BlockExchange(object):
                 c = state[part.axes[a]]
                 near_hi = act & (c >= my_hi - halo_w)
                 near_lo = act & (c < my_lo + halo_w)
-                halo_r, hcnt_r, ovf_r = self._send_recv(
+                at_r = state['n_act']
+                halo_r, hcnt_r, ovf_r, idx_r, scnt_r = self._send_recv(
                     state, props, near_hi, a, 'right')
-                halo_l, hcnt_l, ovf_l = self._send_recv(
-                    state, props, near_lo, a, 'left')
                 state, iovf1 = _insert_rows(state, props, halo_r,
-                                            hcnt_r, state['n_act'],
+                                            hcnt_r, at_r,
                                             ParticleTAGS.Remote)
+                at_l = state['n_act']
+                halo_l, hcnt_l, ovf_l, idx_l, scnt_l = self._send_recv(
+                    state, props, near_lo, a, 'left')
                 state, iovf2 = _insert_rows(state, props, halo_l,
-                                            hcnt_l, state['n_act'],
+                                            hcnt_l, at_l,
                                             ParticleTAGS.Remote)
+                replay.append((idx_r, scnt_r, at_r))
+                replay.append((idx_l, scnt_l, at_l))
                 self._merge_diag('exchange_overflow', ovf_r | ovf_l)
                 self._merge_diag('capacity_overflow', iovf1 | iovf2)
+            out[name] = state
+            cache[name] = replay
+        return out, cache
+
+    def refresh(self, states, cache):
+        """Values-only halo refresh between evaluations of one step:
+        replay the exports ``update_cached`` recorded (same rows, same
+        slots, fresh values) without touching membership.  Row layout
+        and n_act are invariant, so a binning carry built after the
+        full update stays valid for the whole step."""
+        part = self.partition
+        # tag stays Remote on the receive slots (the sent rows carry
+        # their owner's Local tag; replaying it would turn halos into
+        # phantom locals that survive the next step's halo drop)
+        props_of = {name: [p for p in self.schemas[name].props
+                           if p != 'tag']
+                    for name in states}
+        out = {}
+        for name, state in states.items():
+            props = props_of[name]
+            for i, a in enumerate(range(part.ndim)):
+                idx_r, scnt_r, at_r = cache[name][2 * i]
+                idx_l, scnt_l, at_l = cache[name][2 * i + 1]
+                state = self._replay_halo(state, props, a, 'right',
+                                          idx_r, scnt_r, at_r)
+                state = self._replay_halo(state, props, a, 'left',
+                                          idx_l, scnt_l, at_l)
             out[name] = state
         return out
 
@@ -566,6 +664,14 @@ class DistributedRunner(object):
             radius_scale=kernel.radius_scale,
             buffer_capacity=buffer_capacity)
         self._step = None
+        self._step_c = None
+        self._carry = None
+
+    def _invalidate(self):
+        """Static sizes changed: drop compiled steps and the carry."""
+        self._step = None
+        self._step_c = None
+        self._carry = None
 
     # -- host-side data movement ---------------------------------------
     def distribute(self, particle_arrays, local_capacity=None):
@@ -581,8 +687,24 @@ class DistributedRunner(object):
             counts = np.bincount(b, minlength=nb)
             cap = self.local_capacity
             if cap is None:
-                cap = max(128, int(-(-int(counts.max() * 1.5) // 128)
-                                   * 128))
+                # locals + halo-import allowance: each axis imports a
+                # band of halo_w from both faces, so the fullest block
+                # holds up to counts.max() * prod(1 + 2*halo_w/w_a)
+                # rows (uniform-density estimate; 1.3 safety + redo
+                # path handles the rest)
+                h_arr = np.asarray(pa.get('h'))
+                hmax = float(h_arr.max()) if h_arr.size else 0.0
+                halo_w = (part.halo_factor *
+                          self.exchange.radius_scale * hmax)
+                factor = 1.0
+                for a in range(part.ndim):
+                    if part.edges is not None:
+                        w_a = float(np.min(np.diff(part.edges[a])))
+                    else:
+                        w_a = part.widths[a]
+                    factor *= 1.0 + min(1.0, 2.0 * halo_w / w_a)
+                cap = max(128, int(-(-int(counts.max() * factor * 1.3
+                                          + 32) // 128) * 128))
             shards = []
             for blk in range(nb):
                 sub = pa.extract_particles(np.where(b == blk)[0])
@@ -660,29 +782,44 @@ class DistributedRunner(object):
             pa._update_num_real()
 
     # -- the jitted distributed step -----------------------------------
-    def make_step(self, gstates):
+    def make_step(self, gstates, with_carry=False):
         from jax import shard_map
         integrator = self.integrator
         exchange = self.exchange
         specs = self._spec(gstates)
+        blocks = P(self.axis_names if len(self.axis_names) > 1
+                   else self.axis_names[0])
         in_specs = ({n: specs[n] for n in gstates}, P(), P())
+        if with_carry:
+            # the binning carry rides the mesh like the states: every
+            # leaf gains a leading block axis inside local_step (a
+            # pytree-prefix spec covers the whole subtree)
+            in_specs = in_specs + (blocks,)
         diag_spec = {
             'cell_overflow': P(), 'extent_overflow': P(),
             'block_overflow': P(), 'window_overflow': P(),
-            'mirror_overflow': P(),
+            'mirror_overflow': P(), 'rebinned': P(),
         }
         diag_spec.update({k: P() for k in EXCHANGE_DIAG_KEYS})
-        out_specs = ({n: specs[n] for n in gstates}, P(), diag_spec)
+        out_specs = ({n: specs[n] for n in gstates}, P(), diag_spec,
+                     blocks)
 
-        def local_step(states, t, dt):
+        def local_step(states, t, dt, carry_blob=None):
             # unwrap the per-shard (1,) n_act to a scalar
             local = {}
             for name, s in states.items():
                 s = dict(s)
                 s['n_act'] = s['n_act'][0]
                 local[name] = s
+            nnps_carry = None
+            if carry_blob is not None:
+                nnps_carry = jax.tree_util.tree_map(
+                    lambda l: l[0], carry_blob)
             integrator.parallel_manager = exchange
-            new_states, diag, _carry = integrator.step(local, t, dt)
+            new_states, diag, carry = integrator.step(
+                local, t, dt, nnps_carry=nnps_carry)
+            carry_blob_out = jax.tree_util.tree_map(
+                lambda l: l[None], carry)
             if self.adaptive_timestep:
                 dt_next = integrator.compute_time_step(
                     new_states, dt, self.cfl)
@@ -705,16 +842,35 @@ class DistributedRunner(object):
                 s = dict(s)
                 s['n_act'] = s['n_act'][None]
                 out[name] = s
-            return out, dt_next, diag
+            return out, dt_next, diag, carry_blob_out
 
-        fn = shard_map(local_step, mesh=self.mesh, in_specs=in_specs,
+        if with_carry:
+            def entry(gs, t, dt, carry):
+                return local_step(gs, t, dt, carry)
+        else:
+            def entry(gs, t, dt):
+                return local_step(gs, t, dt)
+        fn = shard_map(entry, mesh=self.mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
         return jax.jit(fn)
 
     def step(self, gstates, t, dt):
-        if self._step is None:
-            self._step = self.make_step(gstates)
-        return self._step(gstates, jnp.asarray(t), jnp.asarray(dt))
+        """One distributed step; threads the binning carry across
+        calls Verlet-style (rebinned per-block only when the exchange
+        reshuffled that block's rows or something moved past the slack
+        margin; ``diag['rebinned']`` reports whether any block did)."""
+        t, dt = jnp.asarray(t), jnp.asarray(dt)
+        if self._carry is None:
+            if self._step is None:
+                self._step = self.make_step(gstates, with_carry=False)
+            gstates, dt_next, diag, self._carry = \
+                self._step(gstates, t, dt)
+        else:
+            if self._step_c is None:
+                self._step_c = self.make_step(gstates, with_carry=True)
+            gstates, dt_next, diag, self._carry = \
+                self._step_c(gstates, t, dt, self._carry)
+        return gstates, dt_next, diag
 
     # -- overflow management (mirrors Solver._handle_overflow) ---------
     def _grow_local_capacity(self, gstates, factor=2):
@@ -773,13 +929,13 @@ class DistributedRunner(object):
                     blocks=flags.get('block_overflow', False),
                     windows=flags.get('window_overflow', False))
                 self.integrator.set_nnps(spec)
-                self._step = None
+                self._invalidate()
             if buf_ovf:
                 self.exchange.buffer_capacity *= 2
                 self.partition.buffer_capacity = \
                     self.exchange.buffer_capacity
-                self._step = None
+                self._invalidate()
             if cap_ovf:
                 gstates = self._grow_local_capacity(gstates)
-                self._step = None
+                self._invalidate()
         raise AssertionError('unreachable')

@@ -44,7 +44,12 @@ DIAG_KEYS = ('cell_overflow', 'extent_overflow', 'block_overflow',
 
 
 def empty_diag():
-    return {k: jnp.asarray(False) for k in DIAG_KEYS}
+    d = {k: jnp.asarray(False) for k in DIAG_KEYS}
+    # 1 when this eval (re)built the binning, 0 when the Verlet reuse
+    # kept it — lets callers count rebins per step (the distributed
+    # carry-reuse tests assert rebins ~1/step-or-less, VERDICT #6)
+    d['rebinned'] = jnp.asarray(0, jnp.int32)
+    return d
 
 
 class ArraySchema(NamedTuple):
@@ -226,15 +231,20 @@ class GridHandle(object):
     steps and ``lax.scan``."""
 
     __slots__ = ('spec', 'origin', 'widths', 'layouts', 'ref_pos',
-                 'strata', 'fine_origin', 'fine_widths')
+                 'strata', 'fine_origin', 'fine_widths', 'ref_n')
 
     def __init__(self, spec, origin, widths, layouts, ref_pos,
-                 strata=None, fine_origin=None, fine_widths=None):
+                 strata=None, fine_origin=None, fine_widths=None,
+                 ref_n=None):
         self.spec = spec
         self.origin = origin
         self.widths = widths
         self.layouts = layouts
         self.ref_pos = ref_pos
+        # n_act of every array at binning time: an exchange that
+        # appends/removes rows must force a rebuild even if the rows
+        # that replaced padding happen to sit near the stale ref_pos
+        self.ref_n = ref_n
         # stratified variable-h (spec.stratified): per-array
         # sub-population layouts {'c': coarse-pop@coarse-grid,
         # 'fc': fine-pop@coarse-grid, 'f': fine-pop@fine-grid}
@@ -246,7 +256,7 @@ class GridHandle(object):
 jax.tree_util.register_pytree_node(
     GridHandle,
     lambda h: ((h.origin, h.widths, h.layouts, h.ref_pos, h.strata,
-                h.fine_origin, h.fine_widths), h.spec),
+                h.fine_origin, h.fine_widths, h.ref_n), h.spec),
     lambda spec, children: GridHandle(spec, *children))
 
 
@@ -830,10 +840,13 @@ class AccelerationEval(object):
         diag = empty_diag()
         diag['cell_overflow'] = cell_ovf
         diag['extent_overflow'] = ext_ovf
+        diag['rebinned'] = jnp.asarray(1, jnp.int32)
+        ref_n = {name: jnp.asarray(states[name]['n_act'], jnp.int32)
+                 for name in self.arrays_used}
         return GridHandle(spec=spec, origin=origin, widths=widths,
                           layouts=layouts, ref_pos=ref_pos,
                           strata=strata, fine_origin=fine_origin,
-                          fine_widths=fine_widths), diag
+                          fine_widths=fine_widths, ref_n=ref_n), diag
 
     def prepare_reuse(self, states, handle):
         """Verlet-list reuse: keep ``handle`` if every particle has moved
@@ -866,6 +879,14 @@ class AccelerationEval(object):
         cell_now = spec.cell_slack * spec.radius_scale * hmax
         stale = (disp2 > margin * margin) | \
             (cell_now > jnp.min(handle.widths[:spec.dim]) * 1.0001)
+        if handle.ref_n is not None:
+            # row count changed (distributed exchange appended or
+            # dropped halo rows): the cell lists no longer cover the
+            # active set even if per-row displacement looks small
+            for name in self.arrays_used:
+                stale = stale | (jnp.asarray(states[name]['n_act'],
+                                             jnp.int32)
+                                 != handle.ref_n[name])
         if spec.stratified and handle.strata is not None:
             # fine-layout validity: members' h must stay <= h_split
             # (their support must fit the fine stencil) and their

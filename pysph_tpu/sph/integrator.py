@@ -122,17 +122,20 @@ class Integrator(object):
         self._t = t
         self._dt = dt
         self._lists = {}
-        # distributed exchanges reshuffle particle order every step;
-        # binning cannot be reused across steps there.
-        self._carry_in = None if self.parallel_manager is not None else \
-            nnps_carry
+        # Distributed runs reuse binning across steps too: the
+        # exchange's full update is a row-layout fixed point in steady
+        # state (same membership -> same slots), and any reshuffle is
+        # caught by prepare_reuse's displacement + ref_n staleness
+        # checks, which rebuild under lax.cond.
+        self._carry_in = nnps_carry
         self._carry_out = dict(self._carry_in or {})
+        self._pm_cache = None
         self._diag = self._fresh_diag()
         self._enter_resident()
         self.one_timestep(t, dt)
         self._exit_resident()
         states, diag = self._states, self._diag
-        carry = self._carry_out if self.parallel_manager is None else None
+        carry = self._carry_out
         self._states = None
         self._lists = {}
         return states, diag, carry
@@ -147,6 +150,7 @@ class Integrator(object):
         self._lists = {}
         self._carry_in = None
         self._carry_out = {}
+        self._pm_cache = None
         self._diag = self._fresh_diag()
         self._res_stores = None
         self._res_checked = False
@@ -281,7 +285,18 @@ class Integrator(object):
     def compute_accelerations(self, index=0, update_nnps=True):
         a_eval = self.acceleration_evals[index]
         if update_nnps and self.parallel_manager is not None:
-            self._states = self.parallel_manager.update(self._states)
+            pm = self.parallel_manager
+            if self._pm_cache is not None and \
+                    hasattr(pm, 'refresh'):
+                # later evals of this step: membership is fresh from
+                # the step-opening full update; only halo VALUES are
+                # stale (owners advanced them a stage) -> replay
+                self._states = pm.refresh(self._states, self._pm_cache)
+            elif hasattr(pm, 'update_cached'):
+                self._states, self._pm_cache = \
+                    pm.update_cached(self._states)
+            else:
+                self._states = pm.update(self._states)
         if index == 0 and (self._res_stores is not None or
                            (index not in self._lists and
                             self._resident_runner() is not None)):
