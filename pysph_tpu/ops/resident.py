@@ -639,25 +639,41 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                                         interp))
         return jnp.concatenate(cols, axis=-1)
 
-    def _union_window(si):
+    def _union_strips(si):
+        """Materialize the stencil strips a union phase needs (at the
+        phase trace level — a strip lazily built inside one chunk's
+        pl.when cond and reused by a sibling chunk would leak that
+        cond's tracers into the kernel jaxpr as captured constants,
+        which pallas rejects on hardware)."""
+        (s_ref, planes, pack_idx, Ms, _sc, _scl, K) = srcs[si]
+        wmask = _strip27(si, 0)
+        vals = [_strip27(si, pack_idx[i]) for i in range(len(planes))]
+        return wmask, vals
+
+    def _union_window(si, wmask, vals, sl):
         """Distance-prune + left-pack the stencil window of source
-        ``si`` (same prune semantics as pallas_engine._union_windows:
-        exact distance to the dest pencil-cell AABB is a conservative
-        superset of every per-pair max(hi, hj) support test)."""
+        ``si`` for dest rows ``sl`` only (same prune semantics as
+        pallas_engine._union_windows: exact distance to the dest
+        pencil-cell AABB is a conservative superset of every per-pair
+        max(hi, hj) support test).  Row-chunked: unoccupied chunks
+        skip the prune + pack entirely (measured ~35% row occupancy
+        on dam_break_3d fluid pencils)."""
         (s_ref, planes, pack_idx, Ms, _sc, _scl, K) = srcs[si]
         fdt = d_ref.dtype
-        wmask = _strip27(si, 0)
+        wmask = wmask[sl]
         C = wmask.shape[-1]
         K = min(K, C)
-        wx = _strip27(si, pack_idx[planes.index('x')])
-        wy = _strip27(si, pack_idx[planes.index('y')])
-        wz = _strip27(si, pack_idx[planes.index('z')])
-        wh = _strip27(si, pack_idx[planes.index('h')])
+        nr = wmask.shape[0]
+        wx = vals[planes.index('x')][sl]
+        wy = vals[planes.index('y')][sl]
+        wz = vals[planes.index('z')][sl]
+        wh = vals[planes.index('h')][sl]
         o_i, o_j, o_z = scal[0, 2], scal[0, 3], scal[0, 4]
         w_i, w_j, w_z = scal[0, 5], scal[0, 6], scal[0, 7]
         cc_i = o_i + (bi_ref[a].astype(fdt) + 0.5) * w_i
         cc_j = o_j + (bj_ref[a].astype(fdt) + 0.5) * w_j
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+        iota_r = sl.start + \
+            jax.lax.broadcasted_iota(jnp.int32, (nr, 1), 0)
         cc_z = o_z + (iota_r.astype(fdt) + 0.5) * w_z
         if swapped:
             dxp = wx - cc_i
@@ -675,20 +691,19 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
             jnp.maximum(jnp.abs(dyp) - hy, 0.0) ** 2
         if hz is not None:
             d2 = d2 + jnp.maximum(jnp.abs(dzp) - hz, 0.0) ** 2
-        hrow = jnp.max(dcols['h'] * dmaskf, axis=-1, keepdims=True)
+        hrow = jnp.max(dcols['h'][sl] * dmaskf[sl], axis=-1,
+                       keepdims=True)
         sup = radius_scale * jnp.maximum(hrow, wh)
         flag = jnp.where((d2 <= sup * sup) & (wmask > 0.0),
                          1, 0).astype(jnp.int32)
         if K >= C:
             ff = flag.astype(fdt)
-            pk = {p: _strip27(si, pack_idx[i])
-                  for i, p in enumerate(planes)}
-            return pk, ff * wmask, jnp.zeros((R, 1), fdt)
-        vals = [wmask] + [_strip27(si, pack_idx[i])
-                          for i in range(len(planes))]
-        packed, count = _left_pack(flag, vals, K)
+            pk = {p: vals[i][sl] for i, p in enumerate(planes)}
+            return pk, ff * wmask, jnp.zeros((nr, 1), fdt)
+        packed, count = _left_pack(flag,
+                                   [wmask] + [v[sl] for v in vals], K)
         excess = jnp.maximum(count - K, 0).astype(fdt)
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (nr, K), 1)
         pmaskf = jnp.where(k_iota < count, 1.0, 0.0).astype(fdt)
         pk = {p: packed[1 + i] * pmaskf
               for i, p in enumerate(planes)}
@@ -797,28 +812,35 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
 
             def _uphase(si=si, planes=planes, eqs=eqs,
                         s_const_list=s_const_list, consts=consts):
-                pk, pmaskf, excess = _union_window(si)
-                exc_scratch[...] = jnp.maximum(
-                    exc_scratch[...],
-                    jnp.broadcast_to(excess, exc_scratch.shape))
-                if _DEBUG == 'window':
-                    # consume the packed window so it isn't DCE'd
-                    tot = jnp.sum(pmaskf, axis=-1, keepdims=True)
-                    for v in pk.values():
-                        tot = tot + jnp.sum(v, axis=-1, keepdims=True)
-                    s0 = scratch[0]
-                    s0[...] = s0[...] + jnp.broadcast_to(tot, s0.shape)
-                    return
+                wmask, vals = _union_strips(si)
                 for r0 in range(0, R, cz):
                     sl = slice(r0, r0 + cz)
                     ch_any = jnp.sum(wmf[sl]) > 0.0
 
                     def _chunk(sl=sl):
+                        pk, pmaskf, excess = _union_window(
+                            si, wmask, vals, sl)
+                        exc_scratch[sl, :] = jnp.maximum(
+                            exc_scratch[sl, :],
+                            jnp.broadcast_to(
+                                excess, exc_scratch[sl, :].shape))
+                        if _DEBUG == 'window':
+                            # consume the packed window so it isn't
+                            # DCE'd
+                            tot = jnp.sum(pmaskf, axis=-1,
+                                          keepdims=True)
+                            for v in pk.values():
+                                tot = tot + jnp.sum(
+                                    v, axis=-1, keepdims=True)
+                            s0 = scratch[0]
+                            s0[sl, :] = s0[sl, :] + jnp.broadcast_to(
+                                tot, s0[sl, :].shape)
+                            return
                         dc = {p: dcols[p][sl] for p in d_planes}
                         _run_rows(
                             eqs, dc, dmaskf[sl],
-                            lambda p, sl=sl: pk[p][sl],
-                            pmaskf[sl], consts, planes,
+                            lambda p: pk[p],
+                            pmaskf, consts, planes,
                             s_const_list, out_idx, sl)
 
                     pl.when(ch_any)(_chunk)
@@ -1006,12 +1028,20 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
                           for s, _ in phases))
     row_b = (n_temps * _pad_up(Md, 8) * _pad_up(width, 128) *
              np.dtype(fdt).itemsize)
-    cz = max(1, min(R, int(12e6 // row_b)))
+    # Row chunks must start at sublane boundaries: the per-chunk
+    # window prune left-packs sliced strips, and Mosaic's
+    # tpu.concatenate rejects operands whose sublane offset differs
+    # ("offset mismatch on non-concat dimension") — a slice starting
+    # at row 2 carries sublane offset 2.  So cz is a multiple of 8
+    # (f32 sublanes); the n_temps live-range estimate is pessimistic,
+    # so budget generously and let Mosaic complain if a pathological
+    # phase really overflows VMEM.
+    cz = max(1, min(R, int(20e6 // row_b)))
     cz_env = os.environ.get('PYSPH_TPU_UNION_CZ')
     if cz_env:
         cz = max(1, min(R, int(cz_env)))
-    while R % cz:
-        cz -= 1
+    if cz < R:
+        cz = min(_pad_up(R, 8), _pad_up(cz, 8))
 
     Po = len(out_props)
     Pd_full = 1 + len(dap.planes)

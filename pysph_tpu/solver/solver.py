@@ -109,6 +109,7 @@ class Solver(object):
             integrator.set_domain(self.domain)
         integrator.set_fixed_h(fixed_h or self.fixed_h)
         self._sync_to_device()
+        self._calibrate_windows()
         self._make_jits()
 
     def set_domain(self, domain):
@@ -603,22 +604,63 @@ class Solver(object):
                 bool(diag.get('window_overflow', False)) or
                 bool(diag.get('mirror_overflow', False)))
 
+    def _calibrate_windows(self, grow_from_overflow=False):
+        """Size the pallas union-window caps from the data (replaces
+        the engine's loose 0.72*C geometric default; see
+        ops/calibrate.py).  User-preset caps are left alone.  After a
+        runtime ``window_overflow`` the re-measure is forced to make
+        progress past the old cap so the redo loop terminates."""
+        from pysph_tpu.config import get_config
+        if os.environ.get('PYSPH_TPU_CALIBRATE', '1') == '0':
+            return
+        if not get_config().use_pallas:
+            return
+        spec = self.nnps
+        if spec is None or not self.states:
+            return
+        if getattr(self, '_user_window_caps', None) is None:
+            self._user_window_caps = set(spec.window_caps)
+        try:
+            og, wd, _ = jax.jit(spec.geometry)(self.states)
+            og, wd = np.asarray(og), np.asarray(wd)
+            from pysph_tpu.ops.calibrate import calibrate_window_caps
+            caps = calibrate_window_caps(
+                self.acceleration_evals, self.states, spec, og, wd)
+        except Exception:
+            logger.exception(
+                'window calibration failed; keeping defaults')
+            return
+        for k, v in caps.items():
+            if k in self._user_window_caps:
+                continue
+            old = spec.window_caps.get(k)
+            if grow_from_overflow and old:
+                v = max(v, old + 128)
+            spec.window_caps[k] = v
+        logger.info('window caps calibrated: %s', spec.window_caps)
+
     def _handle_overflow(self, diag):
         if bool(diag.get('mirror_overflow', False)):
             # mirror ghosts did not fit the capacity tail: pad the
             # flat device state (and redo from it)
             self._grow_state_capacity()
+        window_ovf = bool(diag.get('window_overflow', False))
+        calibrated = os.environ.get('PYSPH_TPU_CALIBRATE', '1') != '0'
         spec = self.nnps
         spec = spec.grow(cells=bool(diag['cell_overflow']),
                          extent=bool(diag['extent_overflow']),
                          blocks=bool(diag.get('block_overflow',
                                               False)),
-                         windows=bool(diag.get('window_overflow',
-                                               False)))
+                         windows=window_ovf and not calibrated)
         logger.info('grid grown: dims=%s cell_capacity=%d',
                     spec.dims, spec.cell_capacity)
         self.nnps = spec
         self.integrator.set_nnps(spec)
+        if calibrated:
+            # re-measure the window caps on the current states
+            # instead of blindly doubling (also corrects the
+            # occupancy-scaled caps after a cell-capacity grow)
+            self._calibrate_windows(grow_from_overflow=window_ovf)
         # old binning has the wrong static sizes now
         self._nnps_carry = None
         self._make_jits()
