@@ -2,6 +2,7 @@
 (the analog of reference examples/tests/test_examples.py)."""
 
 import importlib
+import os
 import shutil
 import sys
 import tempfile
@@ -143,12 +144,53 @@ EXAMPLES = [
      ['--dx', '0.06']),
     ('pysph_tpu.examples.tg_with_packed_particles', 'TGPacked',
      ['--nx', '20']),
+    ('pysph_tpu.examples.cube', 'Cube', ['--np', '500']),
+    ('pysph_tpu.examples.dam_break_3d', 'DamBreak3D', ['--dx', '0.12']),
+    ('pysph_tpu.examples.elliptical_drop_no_scheme', 'EllipticalDrop',
+     ['--nx', '20']),
+    ('pysph_tpu.examples.poiseuille', 'PoiseuilleFlow', []),
+    ('pysph_tpu.examples.lattice_cylinders', 'LatticeCylinders', []),
+    ('pysph_tpu.examples.fpc_with_packed_cylinder', 'FPCWithPackedCylinder',
+     ['--nx', '6', '--lt', '10', '--wt', '6']),
+    ('pysph_tpu.examples.trivial_inlet_outlet', 'InletOutletApp', []),
+    ('pysph_tpu.examples.solid_mech.rings', 'Rings', []),
+    ('pysph_tpu.examples.rigid_body.bouncing_cube', 'BouncingCube', []),
+    ('pysph_tpu.examples.rigid_body.bouncing_cubes', 'BouncingCubes', []),
+    ('pysph_tpu.examples.rigid_body.cubes_colliding_in_tank',
+     'RigidFluidCoupling', []),
+    ('pysph_tpu.examples.rigid_body.solid_body_floating_in_tank',
+     'RigidFluidCoupling', []),
+    ('pysph_tpu.examples.rigid_body.sphere_in_vessel_akinci',
+     'RigidFluidCoupling', []),
+    ('pysph_tpu.examples.rigid_body.ten_spheres_in_vessel_2d',
+     'RigidFluidCoupling', []),
+    ('pysph_tpu.examples.rigid_body.three_cubes_in_vessel_3d',
+     'RigidFluidCoupling', []),
+    ('pysph_tpu.examples.rigid_body.three_spheres_in_fluid',
+     'RigidFluidCoupling', []),
+    ('pysph_tpu.examples.surface_tension.interface_instability',
+     'MultiPhase', []),
+    ('pysph_tpu.examples.surface_tension.khi_sy11', 'SquareDroplet', []),
+    ('pysph_tpu.examples.surface_tension.khi_tvf', 'KHITVF', []),
+    ('pysph_tpu.examples.surface_tension.oscillating_rod', 'MultiPhase',
+     []),
+]
+
+# Apps driven by external benchmark data distributions (NOAA Monai
+# Valley bathymetry, SPHysics INDAT/IPART); smoke-run only when the
+# files are present next to the script (ref
+# examples/tests/test_examples.py skips the same way via
+# get_files/remote data).
+DATA_EXAMPLES = [
+    ('pysph_tpu.examples.shallow_water.okushiri_tsunami',
+     'OkushiriTsunami', [],
+     'pysph_tpu/examples/shallow_water/okushiri_tsunami_input_files'),
+    ('pysph_tpu.examples.sphysics.dambreak_sphysics',
+     'DamBreak3DSPhysics', [], 'pysph_tpu/examples/sphysics/INDAT.gz'),
 ]
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize('module,cls,extra', EXAMPLES)
-def test_example_runs(module, cls, extra):
+def _run_example(module, cls, extra):
     mod = importlib.import_module(module)
     app_cls = getattr(mod, cls)
     tmpdir = tempfile.mkdtemp()
@@ -167,3 +209,18 @@ def test_example_runs(module, cls, extra):
     finally:
         sys.argv = old_argv
         shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('module,cls,extra', EXAMPLES)
+def test_example_runs(module, cls, extra):
+    _run_example(module, cls, extra)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('module,cls,extra,data', [
+    pytest.param(m, c, e, d, marks=pytest.mark.skipif(
+        not os.path.exists(d), reason='benchmark data files not present'))
+    for m, c, e, d in DATA_EXAMPLES])
+def test_data_example_runs(module, cls, extra, data):
+    _run_example(module, cls, extra)
