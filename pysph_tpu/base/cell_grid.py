@@ -258,18 +258,25 @@ class GridSpec(object):
                 # when nz == 1
                 cr = cell_ids(xyz, cell_r,
                               shift * (cell_r / cell_m), dims_run)
-                tz = 8
-                if dims_run[2] == 1:
-                    blk = cr[0] * (-(-dims_run[1] // tz)) + \
-                        cr[1] // tz
-                    n_blk = dims_run[0] * -(-dims_run[1] // tz)
-                else:
-                    nzt = -(-dims_run[2] // tz)
-                    blk = (cr[0] * dims_run[1] + cr[1]) * nzt + \
-                        cr[2] // tz
-                    n_blk = dims_run[0] * dims_run[1] * nzt
-                frac = max(frac,
-                           len(np.unique(blk)) / float(n_blk))
+                # the engine's z-tile height depends on VMEM sizing
+                # (pallas_engine tz = 8..nz); the active fraction can
+                # differ a lot between granularities (e.g. a box FLOOR
+                # makes every full-height pencil active while half the
+                # tz=8 tiles stay empty) — measure both extremes and
+                # keep the worst
+                z_ax = 1 if dims_run[2] == 1 else 2
+                for tz in {8, max(dims_run[z_ax], 1)}:
+                    if dims_run[2] == 1:
+                        blk = cr[0] * (-(-dims_run[1] // tz)) + \
+                            cr[1] // tz
+                        n_blk = dims_run[0] * -(-dims_run[1] // tz)
+                    else:
+                        nzt = -(-dims_run[2] // tz)
+                        blk = (cr[0] * dims_run[1] + cr[1]) * nzt + \
+                            cr[2] // tz
+                        n_blk = dims_run[0] * dims_run[1] * nzt
+                    frac = max(frac,
+                               len(np.unique(blk)) / float(n_blk))
             return occ, frac
 
         capacities = {}

@@ -1365,9 +1365,17 @@ def _pair_kernel_compact(eqs_list, kernel_obj, domain, radius_scale,
             def _uphase(si=si, s_props=s_props, s_consts=s_consts,
                         s_const_list=s_const_list, eqs=eqs):
                 pk, pmaskf, excess = _union_windows(si)
+                # truncating the window of a row with no written dest
+                # slots is harmless (its accumulations are masked by
+                # wmf); without this, empty rows of active blocks next
+                # to a dense source region (e.g. boundary rows beside
+                # the fluid bulk) trip window_overflow for windows no
+                # output depends on, forcing a spurious grow+recompile
+                rocc = jnp.max(wmf * dmaskf, axis=-1, keepdims=True)
                 exc_scratch[...] = jnp.maximum(
                     exc_scratch[...],
-                    jnp.broadcast_to(excess, exc_scratch.shape))
+                    jnp.broadcast_to(excess * rocc,
+                                     exc_scratch.shape))
                 cz = union.cz
                 consts = {}
                 consts.update(d_consts)

@@ -562,6 +562,10 @@ def _zshift(v, oz, nz, R, wrap, interpret=False):
 # 'window' = window build but no pair compute, 'nochunk' = pair
 # compute without the per-chunk dest gating.
 _DEBUG = ''
+# Chunk gating on source emptiness / post-prune emptiness.  Module
+# global (not env) so profiling scripts can A/B it in-process with
+# fresh function objects (see PERF_NOTES "Measurement traps").
+_GATE = True
 
 
 def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
@@ -784,7 +788,12 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                             for r0 in range(0, R, cz):
                                 sl = slice(r0, r0 + cz)
                                 dm_c = dmaskf[sl]
+                                # skip chunks with no dest rows OR no
+                                # source slots in their stencil rows
                                 ch_any = jnp.sum(wmf[sl]) > 0.0
+                                if _GATE:
+                                    ch_any = ch_any & (
+                                        jnp.sum(smf[sl]) > 0.0)
 
                                 def _chunk(sl=sl, dm_c=dm_c,
                                            smf=smf, scat=scat):
@@ -815,15 +824,27 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                 wmask, vals = _union_strips(si)
                 for r0 in range(0, R, cz):
                     sl = slice(r0, r0 + cz)
+                    # skip chunks with no dest rows OR no source slots
+                    # in their stencil rows (sparse cross phases:
+                    # fluid<-boundary is empty for the whole fluid
+                    # interior — measured mean 26 of K=384 candidates)
                     ch_any = jnp.sum(wmf[sl]) > 0.0
+                    if _GATE:
+                        ch_any = ch_any & (jnp.sum(wmask[sl]) > 0.0)
 
                     def _chunk(sl=sl):
                         pk, pmaskf, excess = _union_window(
                             si, wmask, vals, sl)
+                        # rows with no written dest slots tolerate a
+                        # truncated window (accumulations masked by
+                        # wmf) — see pallas_engine._pair_kernel_compact
+                        rocc = jnp.max(wmf[sl], axis=-1,
+                                       keepdims=True)
                         exc_scratch[sl, :] = jnp.maximum(
                             exc_scratch[sl, :],
                             jnp.broadcast_to(
-                                excess, exc_scratch[sl, :].shape))
+                                excess * rocc,
+                                exc_scratch[sl, :].shape))
                         if _DEBUG == 'window':
                             # consume the packed window so it isn't
                             # DCE'd
@@ -836,12 +857,22 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                             s0[sl, :] = s0[sl, :] + jnp.broadcast_to(
                                 tot, s0[sl, :].shape)
                             return
-                        dc = {p: dcols[p][sl] for p in d_planes}
-                        _run_rows(
-                            eqs, dc, dmaskf[sl],
-                            lambda p: pk[p],
-                            pmaskf, consts, planes,
-                            s_const_list, out_idx, sl)
+
+                        def _phys():
+                            dc = {p: dcols[p][sl] for p in d_planes}
+                            _run_rows(
+                                eqs, dc, dmaskf[sl],
+                                lambda p: pk[p],
+                                pmaskf, consts, planes,
+                                s_const_list, out_idx, sl)
+
+                        # prune can empty a chunk the stencil test
+                        # passed (sources near the AABB but outside
+                        # every support radius)
+                        if _GATE:
+                            pl.when(jnp.sum(pmaskf) > 0.0)(_phys)
+                        else:
+                            _phys()
 
                     pl.when(ch_any)(_chunk)
 

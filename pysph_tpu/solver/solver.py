@@ -652,8 +652,13 @@ class Solver(object):
                          blocks=bool(diag.get('block_overflow',
                                               False)),
                          windows=window_ovf and not calibrated)
-        logger.info('grid grown: dims=%s cell_capacity=%d',
-                    spec.dims, spec.cell_capacity)
+        logger.info(
+            'grid grown: dims=%s cell_capacity=%d (cell=%s extent=%s '
+            'block=%s window=%s mirror=%s)',
+            spec.dims, spec.cell_capacity,
+            bool(diag['cell_overflow']), bool(diag['extent_overflow']),
+            bool(diag.get('block_overflow', False)), window_ovf,
+            bool(diag.get('mirror_overflow', False)))
         self.nnps = spec
         self.integrator.set_nnps(spec)
         if calibrated:
