@@ -14,19 +14,104 @@ a desktop CPU is ~5-6x -> ~5e5 particle-steps/s OpenMP, the
 vs_baseline denominator here.  The BASELINE.json target is >=10x
 OpenMP, i.e. vs_baseline >= 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
-(extra keys document the derivation and a secondary elliptical_drop
-measurement).
+Prints ONE JSON line per completed milestone (the last line is the
+most complete; all lines carry the same metric key).  The north-star
+line is printed and flushed IMMEDIATELY after the dam-break
+measurement; the secondary elliptical_drop measurement runs only if
+the time budget allows and re-prints a combined line.
+
+Robustness (rounds 3 and 4 produced no driver-parseable number — r3
+crashed, r4 timed out inside cold compiles):
+- a persistent XLA compilation cache (.jax_cache_tpu/) makes repeat
+  runs skip device compiles entirely (verified to work through the
+  axon remote-TPU plugin);
+- a watchdog thread prints a best-so-far JSON line shortly before the
+  assumed driver deadline so even a hung compile leaves a parseable
+  record;
+- per-phase wall-clock goes to stderr for post-mortems.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 OPENMP_BASELINE = 5.0e5     # particle-steps/s (derivation above)
 ELLIPTICAL_BASELINE = 1.2e5  # serial CPU, examples/elliptical_drop.py:1
+
+T0 = time.time()
+# Conservative estimate of the driver's bench window (r4 timed out;
+# assume ~30 min and leave margin).  Override via env for local runs.
+BUDGET_S = float(os.environ.get('PYSPH_BENCH_BUDGET_S', '1320'))
+
+_result_lock = threading.Lock()
+_result = {'printed_real': False, 'best': None}
+
+
+def _elapsed():
+    return time.time() - T0
+
+
+def _phase(msg):
+    sys.stderr.write('[bench %7.1fs] %s\n' % (_elapsed(), msg))
+    sys.stderr.flush()
+
+
+def _emit(payload):
+    with _result_lock:
+        _result['printed_real'] = True
+        print(json.dumps(payload))
+        sys.stdout.flush()
+
+
+def _north_star(db3d, n_db3d, extra=None):
+    payload = {
+        'metric': 'dam_break_3d_particle_steps_per_sec_per_chip',
+        'value': float('%.4g' % db3d),
+        'unit': 'particle-steps/s',
+        'vs_baseline': float('%.4g' % (db3d / OPENMP_BASELINE)),
+        'baseline': 'PySPH OpenMP ~5e5 ps/s (14h serial at dx=0.02 '
+                    '~= 9.4e4 ps/s x ~5.3 OpenMP; target >= 10x)',
+        'n_particles': n_db3d,
+        'elapsed_s': round(_elapsed(), 1),
+    }
+    if extra:
+        payload['extra'] = extra
+    return payload
+
+
+def _watchdog():
+    """Print a best-so-far line shortly before the assumed deadline if
+    nothing real has been printed (a hung compile leaves no output
+    otherwise; see BENCH_r04.json)."""
+    wake = BUDGET_S - 90.0
+    while _elapsed() < wake:
+        time.sleep(5.0)
+        with _result_lock:
+            if _result['printed_real']:
+                return
+    with _result_lock:
+        if _result['printed_real']:
+            return
+        best = _result['best']
+        if best is not None:
+            payload = _north_star(*best)
+            payload['note'] = 'watchdog: partial result at deadline'
+        else:
+            payload = {
+                'metric': 'dam_break_3d_particle_steps_per_sec_per_chip',
+                'value': 0.0, 'unit': 'particle-steps/s',
+                'vs_baseline': 0.0,
+                'error': 'watchdog: no measurement completed in %.0fs '
+                         '(cold compile + tenant contention?)'
+                         % _elapsed(),
+            }
+        print(json.dumps(payload))
+        sys.stdout.flush()
+        _result['printed_real'] = True
 
 
 def _measure_integrator(integ, states, dt, steps_per_call=10,
@@ -39,6 +124,7 @@ def _measure_integrator(integ, states, dt, steps_per_call=10,
     from pysph_tpu.utils.packing import make_packer
 
     fdt = next(iter(states.values()))['x'].dtype
+    _phase('compiling initial_acceleration')
     _, _, carry0 = jax.jit(
         lambda s: integ.initial_acceleration(s, 0.0, dt))(states)
     t0 = jnp.asarray(0.0, dtype=fdt)
@@ -60,8 +146,10 @@ def _measure_integrator(integ, states, dt, steps_per_call=10,
         return np.asarray(next(iter(blob.values()))[:1])
 
     blob = pack((states, t0, carry0))
+    _phase('compiling run_block (%d-step scan)' % steps_per_call)
     blob = run_block(blob)
     _force(blob)
+    _phase('measuring (%d calls x %d steps)' % (n_calls, steps_per_call))
     start = time.time()
     for _ in range(n_calls):
         blob = run_block(blob)
@@ -70,6 +158,8 @@ def _measure_integrator(integ, states, dt, steps_per_call=10,
     states_out, _t, _c = unpack(blob)
     for s in states_out.values():
         assert np.all(np.isfinite(np.asarray(s['x'])))
+    _phase('measured %.1f ms/step' % (
+        wall / (n_calls * steps_per_call) * 1e3))
     return n_calls * steps_per_call / wall
 
 
@@ -83,6 +173,7 @@ def bench_dam_break_3d(dx=0.02):
                    '--disable-output'])
     finally:
         sys.argv = argv_save
+    _phase('dam_break_3d setup done')
     solver = app.solver
     integ = solver.integrator
     states = solver.states
@@ -92,7 +183,6 @@ def bench_dam_break_3d(dx=0.02):
 
 
 def bench_elliptical_drop(nx=100):
-    import jax.numpy as jnp
     from pysph_tpu.base.cell_grid import GridSpec
     from pysph_tpu.base.kernels import Gaussian
     from pysph_tpu.base.utils import get_particle_array_wcsph
@@ -168,34 +258,58 @@ def _probe_backend(timeout=600):
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
+    _phase('probing backend')
     err = _probe_backend()
     if err is not None:
         _fail(err)
         return 3
+    _phase('backend ok')
 
     import jax
+    # Persistent compile cache: repeat bench runs (and the driver's
+    # run after a pre-warming run in-round) load executables from disk
+    # instead of recompiling — verified to work through the axon
+    # remote-TPU plugin.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_cache_tpu')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          1.0)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes',
+                          0)
+    except Exception as e:
+        _phase('compile cache unavailable: %s' % e)
+
     from pysph_tpu.config import get_config
     get_config().use_pallas = jax.default_backend() in ('tpu', 'axon')
 
     db3d, n_db3d = bench_dam_break_3d()
-    drop, n_drop = bench_elliptical_drop()
+    # The north-star number exists: print it NOW (the driver's window
+    # must never close on an unprinted result again).
+    _emit(_north_star(db3d, n_db3d))
+    with _result_lock:
+        _result['best'] = (db3d, n_db3d)
 
-    print(json.dumps({
-        'metric': 'dam_break_3d_particle_steps_per_sec_per_chip',
-        'value': float('%.4g' % db3d),
-        'unit': 'particle-steps/s',
-        'vs_baseline': float('%.4g' % (db3d / OPENMP_BASELINE)),
-        'baseline': 'PySPH OpenMP ~5e5 ps/s (14h serial at dx=0.02 '
-                    '~= 9.4e4 ps/s x ~5.3 OpenMP; target >= 10x)',
-        'n_particles': n_db3d,
-        'extra': {
-            'elliptical_drop_ps_per_sec': float('%.4g' % drop),
-            'elliptical_vs_serial_baseline': float(
-                '%.4g' % (drop / ELLIPTICAL_BASELINE)),
-            'elliptical_n_particles': n_drop,
-        },
+    # Secondary measurement only with comfortable margin: its compiles
+    # cost a few minutes cold.
+    if _elapsed() > 0.55 * BUDGET_S:
+        _phase('skipping elliptical_drop (%.0fs elapsed)' % _elapsed())
+        return 0
+    try:
+        drop, n_drop = bench_elliptical_drop()
+    except Exception as e:
+        _phase('elliptical_drop failed: %r' % e)
+        return 0
+    _emit(_north_star(db3d, n_db3d, extra={
+        'elliptical_drop_ps_per_sec': float('%.4g' % drop),
+        'elliptical_vs_serial_baseline': float(
+            '%.4g' % (drop / ELLIPTICAL_BASELINE)),
+        'elliptical_n_particles': n_drop,
     }))
+    return 0
 
 
 if __name__ == '__main__':
-    main()
+    sys.exit(main())

@@ -46,7 +46,8 @@ INT_MAX = np.int32(2 ** 31 - 1)
 
 #: every diag dict of a distributed step carries these flags
 EXCHANGE_DIAG_KEYS = ('exchange_overflow', 'capacity_overflow',
-                      'migration_multihop', 'halo_width_overflow')
+                      'migration_multihop', 'halo_width_overflow',
+                      'halo_drift_overflow')
 
 
 def _select_idx(cond, capacity):
@@ -101,23 +102,19 @@ def _compact(state, prop_names, keep):
 def _insert_rows(state, prop_names, packed, count, at, tag):
     """Write ``count`` packed rows starting at index ``at``."""
     capacity = packed[next(iter(prop_names))].shape[0]
-    slots = at + jnp.arange(capacity, dtype=jnp.int32)
     valid = jnp.arange(capacity, dtype=jnp.int32) < count
     cap = state['x'].shape[0]
-    slots = jnp.where(valid, jnp.minimum(slots, cap - 1), cap - 1)
+    # invalid lanes go out of bounds and are dropped — a clamp to
+    # cap-1 would race the last real slot when at+count == cap (XLA
+    # leaves duplicate-index scatter winners undefined)
+    slots = jnp.where(valid, at + jnp.arange(capacity, dtype=jnp.int32),
+                      cap)
     out = dict(state)
     for name in prop_names:
-        arr = out[name]
-        rows = packed[name]
-        if arr.ndim == 1:
-            cur = arr[slots]
-            vals = jnp.where(valid, rows, cur)
-        else:
-            cur = arr[slots]
-            vals = jnp.where(valid[:, None], rows, cur)
-        out[name] = arr.at[slots].set(vals)
-    newtag = jnp.where(valid, tag, out['tag'][slots])
-    out['tag'] = out['tag'].at[slots].set(newtag)
+        out[name] = out[name].at[slots].set(packed[name],
+                                            mode='drop')
+    out['tag'] = out['tag'].at[slots].set(
+        jnp.full((capacity,), tag, out['tag'].dtype), mode='drop')
     out['n_act'] = state['n_act'] + count
     overflow = (at + count) > cap
     return out, overflow
@@ -128,20 +125,15 @@ def _overwrite_rows(state, prop_names, packed, count, at):
     the values-only halo refresh (rows were placed there by the
     cache-building full exchange; tags/n_act are already right)."""
     capacity = packed[next(iter(prop_names))].shape[0]
-    slots = at + jnp.arange(capacity, dtype=jnp.int32)
     valid = jnp.arange(capacity, dtype=jnp.int32) < count
     cap = state['x'].shape[0]
-    slots = jnp.where(valid, jnp.minimum(slots, cap - 1), cap - 1)
+    # invalid lanes out of bounds -> dropped (see _insert_rows)
+    slots = jnp.where(valid, at + jnp.arange(capacity, dtype=jnp.int32),
+                      cap)
     out = dict(state)
     for name in prop_names:
-        arr = out[name]
-        rows = packed[name]
-        cur = arr[slots]
-        if arr.ndim == 1:
-            vals = jnp.where(valid, rows, cur)
-        else:
-            vals = jnp.where(valid[:, None], rows, cur)
-        out[name] = arr.at[slots].set(vals)
+        out[name] = out[name].at[slots].set(packed[name],
+                                            mode='drop')
     return out
 
 
@@ -593,7 +585,20 @@ class BlockExchange(object):
                 self._merge_diag('exchange_overflow', ovf_r | ovf_l)
                 self._merge_diag('capacity_overflow', iovf1 | iovf2)
             out[name] = state
-            cache[name] = replay
+            # position snapshot: ``refresh`` verifies per-stage drift
+            # stays inside the halo slack band (see below)
+            cache[name] = {
+                'replay': replay,
+                'pos0': tuple(state[ax] for ax in part.axes),
+            }
+        # the values-only replay is only exact while every particle
+        # stays within (halo_factor-1)*rs*hmax of its snapshot
+        # position: a particle just outside the band at step start
+        # that drifts into range mid-step would otherwise be silently
+        # missing from neighbor forces (the reference re-runs the full
+        # remote exchange before every evaluation instead,
+        # parallel_manager.pyx:512)
+        cache['_band'] = halo_w - self.radius_scale * hmax
         return out, cache
 
     def refresh(self, states, cache):
@@ -610,16 +615,35 @@ class BlockExchange(object):
                            if p != 'tag']
                     for name in states}
         out = {}
+        band = cache['_band']
+        drift_ovf = jnp.asarray(False)
         for name, state in states.items():
             props = props_of[name]
-            for i, a in enumerate(range(part.ndim)):
-                idx_r, scnt_r, at_r = cache[name][2 * i]
-                idx_l, scnt_l, at_l = cache[name][2 * i + 1]
-                state = self._replay_halo(state, props, a, 'right',
+            replay = cache[name]['replay']
+            # drift guard: flag when any active particle moved further
+            # from its update_cached snapshot than the slack band —
+            # halo membership would then be stale and the runner must
+            # widen halo_factor and redo (step_checked)
+            pos0 = cache[name]['pos0']
+            cap = state['x'].shape[0]
+            act = jnp.arange(cap, dtype=jnp.int32) < state['n_act']
+            for a, ax in enumerate(part.axes):
+                d = jnp.abs(state[ax] - pos0[a])
+                if part.periodics[a]:
+                    L = part.his[a] - part.los[a]
+                    d = jnp.minimum(d, L - d)
+                drift_ovf = drift_ovf | jnp.any(
+                    jnp.where(act, d, 0.0) > band)
+            for i in range(part.ndim):
+                idx_r, scnt_r, at_r = replay[2 * i]
+                idx_l, scnt_l, at_l = replay[2 * i + 1]
+                state = self._replay_halo(state, props, i, 'right',
                                           idx_r, scnt_r, at_r)
-                state = self._replay_halo(state, props, a, 'left',
+                state = self._replay_halo(state, props, i, 'left',
                                           idx_l, scnt_l, at_l)
             out[name] = state
+        self._merge_diag('halo_drift_overflow',
+                         self._pmax_all(drift_ovf))
         return out
 
 
@@ -680,6 +704,16 @@ class DistributedRunner(object):
         nb = part.n_blocks
         if local_capacity is not None:
             self.local_capacity = local_capacity
+        # the runtime halo band in update_cached uses hmax reduced
+        # over ALL arrays — size the import allowance the same way,
+        # or a small-h array sharing a domain with a large-h array
+        # gets an undersized capacity and churns through overflow
+        # redo/recompile cycles
+        hmax_all = 0.0
+        for pa in particle_arrays:
+            h_arr = np.asarray(pa.get('h'))
+            if h_arr.size:
+                hmax_all = max(hmax_all, float(h_arr.max()))
         gstates = {}
         for pa in particle_arrays:
             coords = [np.asarray(pa.get(ax)) for ax in part.axes]
@@ -692,10 +726,8 @@ class DistributedRunner(object):
                 # holds up to counts.max() * prod(1 + 2*halo_w/w_a)
                 # rows (uniform-density estimate; 1.3 safety + redo
                 # path handles the rest)
-                h_arr = np.asarray(pa.get('h'))
-                hmax = float(h_arr.max()) if h_arr.size else 0.0
                 halo_w = (part.halo_factor *
-                          self.exchange.radius_scale * hmax)
+                          self.exchange.radius_scale * hmax_all)
                 factor = 1.0
                 for a in range(part.ndim):
                     if part.edges is not None:
@@ -915,12 +947,20 @@ class DistributedRunner(object):
                         flags.get('window_overflow', False))
             buf_ovf = flags.get('exchange_overflow', False)
             cap_ovf = flags.get('capacity_overflow', False)
-            if not (grid_ovf or buf_ovf or cap_ovf):
+            drift_ovf = flags.get('halo_drift_overflow', False)
+            if not (grid_ovf or buf_ovf or cap_ovf or drift_ovf):
                 return new_gstates, dt_next, diag
             if attempt == self.MAX_GROWS:
                 raise RuntimeError(
                     'distributed overflow persists after %d grows: %s'
                     % (self.MAX_GROWS, flags))
+            if drift_ovf:
+                # per-stage drift escaped the halo slack band: widen
+                # it (doubling the slack) and redo so no interaction
+                # is silently dropped
+                part = self.partition
+                part.halo_factor = 1.0 + 2.0 * (part.halo_factor - 1.0)
+                self._invalidate()
             if grid_ovf:
                 spec = self.integrator.acceleration_evals[0].grid_spec
                 spec = spec.grow(

@@ -630,12 +630,31 @@ class Solver(object):
             logger.exception(
                 'window calibration failed; keeping defaults')
             return
+        if grow_from_overflow:
+            # The overflow diag is a single bool (it doesn't say which
+            # pair overflowed), but the re-measure does: a pair whose
+            # measured need is close to (or past) its old cap is the
+            # plausible overflower; only force growth there, so one
+            # hot pair doesn't inflate VMEM windows and pair-physics
+            # work for every phase.  The measurement runs on the
+            # restored pre-step state, so if nothing measures tight,
+            # fall back to growing all (guarantees redo-loop
+            # progress).
+            tight = [k for k, v in caps.items()
+                     if k not in self._user_window_caps and
+                     spec.window_caps.get(k) and
+                     v >= spec.window_caps[k] - 128]
+            grow_keys = set(tight) if tight else set(
+                k for k in caps if k not in self._user_window_caps)
         for k, v in caps.items():
             if k in self._user_window_caps:
                 continue
             old = spec.window_caps.get(k)
             if grow_from_overflow and old:
-                v = max(v, old + 128)
+                if k in grow_keys:
+                    v = max(v, old + 128)
+                else:
+                    v = old  # pair didn't overflow: keep its cap
             spec.window_caps[k] = v
         logger.info('window caps calibrated: %s', spec.window_caps)
 
