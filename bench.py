@@ -163,14 +163,15 @@ def _measure_integrator(integ, states, dt, steps_per_call=10,
     return n_calls * steps_per_call / wall
 
 
-def bench_dam_break_3d(dx=0.02):
+def bench_dam_break_3d(dx=0.02, delta_sph=False):
     from pysph_tpu.examples.dam_break_3d import DamBreak3D
     argv_save = sys.argv
     sys.argv = ['dam_break_3d']
     try:
         app = DamBreak3D()
+        extra = ['--delta-sph'] if delta_sph else []
         app.setup(['--dx', str(dx), '--max-steps', '0',
-                   '--disable-output'])
+                   '--disable-output'] + extra)
     finally:
         sys.argv = argv_save
     _phase('dam_break_3d setup done')
@@ -285,7 +286,13 @@ def main():
     from pysph_tpu.config import get_config
     get_config().use_pallas = jax.default_backend() in ('tpu', 'axon')
 
-    db3d, n_db3d = bench_dam_break_3d()
+    # `python bench.py --delta-sph` benches the BASELINE.md multi-chip
+    # variant (WCSPH + delta-SPH + gradient correction); default is
+    # the plain WCSPH north-star config the OpenMP baseline derives
+    # from (accuracy gate for the variant:
+    # tests/test_reference_parity.py::test_delta_sph_...)
+    delta_sph = '--delta-sph' in sys.argv[1:]
+    db3d, n_db3d = bench_dam_break_3d(delta_sph=delta_sph)
     # The north-star number exists: print it NOW (the driver's window
     # must never close on an unprinted result again).
     _emit(_north_star(db3d, n_db3d))

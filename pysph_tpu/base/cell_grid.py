@@ -91,6 +91,12 @@ class GridSpec(object):
         # solver grows+re-jits, mirroring block_fracs.
         self.window_caps = {k: int(v)
                            for k, v in (window_caps or {}).items()}
+        # Per-pair K-cascade sub-levels for the resident kernel's
+        # count-gated physics (chunks whose max survivor count fits a
+        # sub-level run the pair physics on that many lanes only).
+        # Populated by ops/calibrate.py from the measured count
+        # distribution; levels >= the pair's cap are ignored.
+        self.window_levels = {}
         # Stratified variable-h support (reference capability:
         # stratified_sfc_nnps.pyx:39, z_order_nnps.pyx:579).  When the
         # h range within the arrays is wide, binning everything at
@@ -410,12 +416,14 @@ class GridSpec(object):
                              windows=windows, factor=factor)
         pop_caps = {k: v * factor if cells else v
                     for k, v in self.pop_capacities.items()}
-        return GridSpec(self.dim, self.radius_scale, dims, M,
-                        self.domain, cell_slack=self.cell_slack,
-                        capacities=caps, block_fracs=fracs,
-                        window_caps=wcaps, h_cell=self.h_cell,
-                        h_split=self.h_split, fine=fine,
-                        pop_capacities=pop_caps)
+        new = GridSpec(self.dim, self.radius_scale, dims, M,
+                       self.domain, cell_slack=self.cell_slack,
+                       capacities=caps, block_fracs=fracs,
+                       window_caps=wcaps, h_cell=self.h_cell,
+                       h_split=self.h_split, fine=fine,
+                       pop_capacities=pop_caps)
+        new.window_levels = dict(self.window_levels)
+        return new
 
     # ------------------------------------------------------------------
     def geometry(self, states):

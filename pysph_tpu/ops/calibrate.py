@@ -42,13 +42,20 @@ def pair_keys(a_evals):
 
 
 def calibrate_window_caps(a_evals, states, spec, origin, widths,
-                          slack=1.1, margin=32):
+                          slack=1.1, margin=32, levels_out=None):
     """Measured per-(dest,src) window caps for the current states.
 
     ``origin``/``widths``: the grid geometry (host floats, physical
     axes).  Returns {'dest<-src': K} with K = pad128(max_count * slack
     + margin); pairs whose arrays are empty get the 128 floor.
     Periodic axes use the minimum image like the in-kernel prune.
+
+    ``levels_out``: optional dict filled with per-pair K-cascade
+    sub-levels (lane counts below the cap that a large fraction of
+    row chunks fit under) measured from the chunk-max distribution —
+    the resident kernel's count-gated physics uses them to skip
+    padded lanes on sparse chunks (e.g. dam_break_3d fluid<-boundary:
+    most chunks hold < 128 of the 384-cap candidates).
     """
     dim = spec.dim
     dims = spec.dims
@@ -142,4 +149,25 @@ def calibrate_window_caps(a_evals, states, spec, origin, widths,
             counts += np.bincount(flat_d[valid], minlength=n_cells)
         mc = int(counts.max()) if counts.size else 0
         caps[key] = _pad128(int(mc * slack) + margin)
+        if levels_out is not None:
+            # chunk-max distribution over nominal 8-row pencil chunks
+            # (mirrors the kernel's cz gating granularity)
+            dn = dims[2] if dim == 3 else dims[1]
+            nzc = max(1, dn)
+            cells = np.where(counts > 0)[0]
+            if cells.size == 0:
+                levels_out[key] = ()
+                continue
+            pen = cells // nzc
+            chk = (cells % nzc) // 8
+            ckey = pen * 256 + chk
+            uk, inv = np.unique(ckey, return_inverse=True)
+            cmax = np.zeros(uk.shape[0], np.int64)
+            np.maximum.at(cmax, inv, counts[cells])
+            lv = set()
+            for q in (40.0, 75.0):
+                l = _pad128(int(np.percentile(cmax, q) * slack))
+                if 128 <= l < caps[key]:
+                    lv.add(l)
+            levels_out[key] = tuple(sorted(lv)[-2:])
     return caps

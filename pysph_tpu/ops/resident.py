@@ -154,14 +154,28 @@ class ResidentPlan(object):
         for eq in a_eval._iter_equations():
             if hasattr(eq, 'py_initialize'):
                 raise PallasIneligible('py_initialize')
-            if getattr(eq, 'reduce', None) is not None:
-                raise PallasIneligible('reduce()')
             if getattr(eq, 'initialize_pair', None) is not None:
                 raise PallasIneligible('initialize_pair')
             if getattr(eq, 'loop_all', None) is not None:
                 raise PallasIneligible('loop_all')
-            if getattr(eq, 'converged', None) is not None:
-                raise PallasIneligible('converged()')
+            # reduce()/converged() access dest props as ``dst.<prop>``
+            # attributes, invisible to the signature scan below — pull
+            # them from the source text so those props become pack
+            # planes (a prop read only by reduce would otherwise fall
+            # through to the STALE flat copy)
+            for fname in ('reduce', 'converged'):
+                fn = getattr(eq, fname, None)
+                if fn is None:
+                    continue
+                import inspect
+                import re
+                try:
+                    src = inspect.getsource(fn)
+                except (OSError, TypeError):
+                    raise PallasIneligible(
+                        '%s() without inspectable source' % fname)
+                note(eq.dest, tuple(
+                    re.findall(r'dst\.(\w+)', src)))
             for fname in ('initialize', 'loop', 'post_loop'):
                 fn = getattr(eq, fname, None)
                 if fn is None:
@@ -199,10 +213,8 @@ class ResidentPlan(object):
 
     @staticmethod
     def _check_group(group):
-        if group.condition is not None or group.iterate or \
-                group.update_nnps:
-            raise PallasIneligible('conditional/iterated/update_nnps '
-                                   'group')
+        if group.condition is not None or group.update_nnps:
+            raise PallasIneligible('conditional/update_nnps group')
         if group.pre is not None or group.post is not None:
             raise PallasIneligible('host pre/post callables')
         start = getattr(group, 'start_idx', 0)
@@ -222,6 +234,10 @@ class ResidentPlan(object):
             props = (self.touched[name] |
                      stepper_props.get(name, set())) - \
                 set(schema.consts)
+            # the reduce()/converged() source scan can surface
+            # non-prop attribute names (dst.mask, dst.active, view
+            # helpers); only schema props become planes
+            props &= set(schema.props)
             # adaptive-dt control props are read by
             # Integrator.compute_time_step against the pack-shaped
             # active mask; fold them in even when no equation writes
@@ -509,9 +525,13 @@ class _RkMeta(NamedTuple):
     d_planes: tuple        # prop names, pack plane order
     d_const_list: tuple
     # per fused source phase:
-    # (name, use_planes, pack_idx, Ms, const_list, K) — use_planes
-    # lists only the props THIS phase's equations read (plus x/y/z/h
-    # for the union prune); pack_idx maps each to its pack plane
+    # (name, use_planes, pack_idx, Ms, const_list, K, levels, seg) —
+    # use_planes lists only the props THIS phase's equations read
+    # (plus x/y/z/h for the union prune); pack_idx maps each to its
+    # pack plane; levels are the K-cascade sub-levels (chunks whose
+    # max survivor count fits a sub-level run that many lanes only);
+    # seg is the lane width of one (oy, ox) section of the phase's
+    # xy-concat source view
     src_metas: tuple
     out_props: tuple
     out_ops: tuple         # dict as tuple of pairs
@@ -570,30 +590,33 @@ _GATE = True
 
 def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                           meta, *refs):
-    """One program per active dest pencil; sources are the 9 (oy, ox)
-    neighbor-pencil resident packs; z-offsets are assembled in-kernel
-    with static sublane shifts (no pre-rolled HBM copies).  Each
-    source runs either as a union-compacted window phase (wide
-    sources) or 9 per-offset phases (small ones)."""
+    """One program per active dest pencil; each source phase reads
+    ONE xy-concat view — the 9 (oy, ox) neighbor-pencil segments of
+    the source pack, pre-gathered per dest entry in XLA (one DMA
+    descriptor instead of nine; the per-program descriptor issue cost
+    was the measured launch floor).  z-offsets are assembled in-kernel
+    with static sublane shifts.  Each source runs either as a
+    union-compacted window phase (wide sources) or per-offset phases
+    (small ones)."""
     (R, nz, kper, swapped, Md, d_planes, d_const_list, src_metas,
      out_props, out_ops_t, oys, oxs, real, cz, interp) = meta
     out_ops = dict(out_ops_t)
+    n_oxy = len(oys) * len(oxs)
     it = iter(refs)
     bi_ref = next(it)
     bj_ref = next(it)
     na_ref = next(it)
-    for _ in src_metas:
-        next(it)                     # inverse pencil maps
     next(it)                         # dest entry list (index maps)
     scal = next(it)                  # (1, 8): t, dt, origin, widths
     d_ref = next(it)                 # (1, R, (1 + Pd) * Md)
     d_consts = {('d', p): next(it)[0] for p in d_const_list}
     srcs = []
-    for (sname, planes, pack_idx, Ms, const_list, K) in src_metas:
-        s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
+    for (sname, planes, pack_idx, Ms, const_list, K, levels,
+         seg) in src_metas:
+        s_ref = next(it)             # (1, R, n_oxy * seg) xy view
         s_consts = {('s', p): next(it)[0] for p in const_list}
         srcs.append((s_ref, planes, pack_idx, Ms, s_consts,
-                     const_list, K))
+                     const_list, K, levels, seg))
     out_ref = next(it)      # (1, R, (1 + Pd) * Md), aliased to d_ref
     exc_ref = None
     if any(s[6] is not None for s in srcs):
@@ -632,15 +655,17 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
 
     def _strip27(si, pi):
         """(R, 27*Ms) lane-concat of PACK plane ``pi`` over the full
-        stencil: 9 (oy, ox) views x 3 z-shifts, in a fixed order."""
-        (s_ref, planes, pack_idx, Ms, _sc, _scl, _K) = srcs[si]
+        stencil: 9 (oy, ox) xy-view sections x 3 z-shifts, in a fixed
+        order."""
+        (s_ref, planes, pack_idx, Ms) = srcs[si][:4]
+        seg = srcs[si][8]
         cols = []
-        for oy in oys:
-            for ox in oxs:
-                v = s_ref[(oy, ox)][0][:, pi * Ms:(pi + 1) * Ms]
-                for oz in (-1, 0, 1) if nz > 1 else (0,):
-                    cols.append(_zshift(v, oz, nz, R, kper[2],
-                                        interp))
+        for sec in range(n_oxy):
+            v = s_ref[0][:, sec * seg + pi * Ms:
+                         sec * seg + (pi + 1) * Ms]
+            for oz in (-1, 0, 1) if nz > 1 else (0,):
+                cols.append(_zshift(v, oz, nz, R, kper[2],
+                                    interp))
         return jnp.concatenate(cols, axis=-1)
 
     def _union_strips(si):
@@ -649,7 +674,7 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         pl.when cond and reused by a sibling chunk would leak that
         cond's tracers into the kernel jaxpr as captured constants,
         which pallas rejects on hardware)."""
-        (s_ref, planes, pack_idx, Ms, _sc, _scl, K) = srcs[si]
+        (s_ref, planes, pack_idx, Ms) = srcs[si][:4]
         wmask = _strip27(si, 0)
         vals = [_strip27(si, pack_idx[i]) for i in range(len(planes))]
         return wmask, vals
@@ -661,8 +686,11 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         pencil-cell AABB is a conservative superset of every per-pair
         max(hi, hj) support test).  Row-chunked: unoccupied chunks
         skip the prune + pack entirely (measured ~35% row occupancy
-        on dam_break_3d fluid pencils)."""
-        (s_ref, planes, pack_idx, Ms, _sc, _scl, K) = srcs[si]
+        on dam_break_3d fluid pencils).  Returns (pk, pmaskf, excess,
+        count); count is (nr, 1) int32 survivors per row (-1 on the
+        K >= C fast path, where the window is the raw strip)."""
+        (s_ref, planes, pack_idx, Ms, _sc, _scl, K,
+         _lv, _seg) = srcs[si]
         fdt = d_ref.dtype
         wmask = wmask[sl]
         C = wmask.shape[-1]
@@ -703,7 +731,7 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         if K >= C:
             ff = flag.astype(fdt)
             pk = {p: vals[i][sl] for i, p in enumerate(planes)}
-            return pk, ff * wmask, jnp.zeros((nr, 1), fdt)
+            return pk, ff * wmask, jnp.zeros((nr, 1), fdt), None
         packed, count = _left_pack(flag,
                                    [wmask] + [v[sl] for v in vals], K)
         excess = jnp.maximum(count - K, 0).astype(fdt)
@@ -711,7 +739,7 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         pmaskf = jnp.where(k_iota < count, 1.0, 0.0).astype(fdt)
         pk = {p: packed[1 + i] * pmaskf
               for i, p in enumerate(planes)}
-        return pk, pmaskf * packed[0], excess
+        return pk, pmaskf * packed[0], excess, count
 
     def _run_rows(eqs, dcols_c, dm_c, scat, smf, consts, planes,
                   const_list, out_idx, sl):
@@ -737,28 +765,28 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
             return
         out_idx = {p: po for po, p in enumerate(out_props)}
         for si, ((s_ref, planes, pack_idx, Ms, s_consts,
-                  s_const_list, K), eqs) in enumerate(zip(srcs,
-                                                          eqs_list)):
+                  s_const_list, K, levels, seg), eqs) in enumerate(
+                      zip(srcs, eqs_list)):
             consts = {}
             consts.update(d_consts)
             consts.update(s_consts)
             if K is None:
                 # per-offset phases (small sources)
-                for oy in oys:
-                    for ox in oxs:
-                        ref = s_ref[(oy, ox)]
-                        sm0 = ref[0][:, 0:Ms]
-                        src_any = jnp.sum(sm0) > 0.0
+                for sec in range(n_oxy):
+                    base = sec * seg
+                    sm0 = s_ref[0][:, base:base + Ms]
+                    src_any = jnp.sum(sm0) > 0.0
 
-                        def _phase(ref=ref, planes=planes,
+                    if True:  # keep the original indentation depth
+                        def _phase(base=base, planes=planes,
                                    pack_idx=pack_idx, Ms=Ms,
-                                   eqs=eqs, sm0=sm0):
+                                   eqs=eqs, sm0=sm0, s_ref=s_ref):
                             strips = {}
 
                             def strip3(pi):
                                 if pi not in strips:
-                                    v = ref[0][:, pi * Ms:
-                                               (pi + 1) * Ms]
+                                    v = s_ref[0][:, base + pi * Ms:
+                                                 base + (pi + 1) * Ms]
                                     if nz > 1:
                                         strips[pi] = jnp.concatenate(
                                             [_zshift(v, oz, nz, R,
@@ -813,14 +841,14 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
 
             # union-window phase
             tot = None
-            for oy in oys:
-                for ox in oxs:
-                    m = jnp.sum(s_ref[(oy, ox)][0][:, 0:Ms])
-                    tot = m if tot is None else tot + m
+            for sec in range(n_oxy):
+                m = jnp.sum(s_ref[0][:, sec * seg:sec * seg + Ms])
+                tot = m if tot is None else tot + m
             src_any = tot > 0.0
 
             def _uphase(si=si, planes=planes, eqs=eqs,
-                        s_const_list=s_const_list, consts=consts):
+                        s_const_list=s_const_list, consts=consts,
+                        levels=levels):
                 wmask, vals = _union_strips(si)
                 for r0 in range(0, R, cz):
                     sl = slice(r0, r0 + cz)
@@ -832,8 +860,8 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                     if _GATE:
                         ch_any = ch_any & (jnp.sum(wmask[sl]) > 0.0)
 
-                    def _chunk(sl=sl):
-                        pk, pmaskf, excess = _union_window(
+                    def _chunk(sl=sl, levels=levels):
+                        pk, pmaskf, excess, count = _union_window(
                             si, wmask, vals, sl)
                         # rows with no written dest slots tolerate a
                         # truncated window (accumulations masked by
@@ -858,21 +886,52 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                                 tot, s0[sl, :].shape)
                             return
 
-                        def _phys():
-                            dc = {p: dcols[p][sl] for p in d_planes}
-                            _run_rows(
-                                eqs, dc, dmaskf[sl],
-                                lambda p: pk[p],
-                                pmaskf, consts, planes,
-                                s_const_list, out_idx, sl)
+                        def _phys_at(Kl):
+                            """Physics on the first Kl window lanes
+                            only (None = full K) — the count-gated
+                            cascade: lanes past the chunk's max
+                            survivor count are all zero-masked
+                            padding, so truncating them is exact."""
+                            def f():
+                                if Kl is None:
+                                    pk_l, pm_l = pk, pmaskf
+                                else:
+                                    pk_l = {p: v[..., :Kl]
+                                            for p, v in pk.items()}
+                                    pm_l = pmaskf[..., :Kl]
+                                dc = {p: dcols[p][sl]
+                                      for p in d_planes}
+                                _run_rows(
+                                    eqs, dc, dmaskf[sl],
+                                    lambda p: pk_l[p],
+                                    pm_l, consts, planes,
+                                    s_const_list, out_idx, sl)
+                            return f
 
-                        # prune can empty a chunk the stencil test
-                        # passed (sources near the AABB but outside
-                        # every support radius)
-                        if _GATE:
-                            pl.when(jnp.sum(pmaskf) > 0.0)(_phys)
-                        else:
-                            _phys()
+                        lv = () if count is None else tuple(
+                            l for l in levels
+                            if l < pmaskf.shape[-1])
+                        if not lv:
+                            # prune can empty a chunk the stencil
+                            # test passed (sources near the AABB but
+                            # outside every support radius)
+                            if _GATE:
+                                pl.when(jnp.sum(pmaskf) > 0.0)(
+                                    _phys_at(None))
+                            else:
+                                _phys_at(None)()
+                            return
+                        cmax = jnp.max(count)
+                        prev = 0
+                        for L in lv:
+                            cond = cmax <= L
+                            if prev:
+                                cond = cond & (cmax > prev)
+                            elif _GATE:
+                                cond = cond & (cmax > 0)
+                            pl.when(cond)(_phys_at(L))
+                            prev = L
+                        pl.when(cmax > prev)(_phys_at(None))
 
                     pl.when(ch_any)(_chunk)
 
@@ -971,26 +1030,57 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
         ins.append(c)
         in_specs.append(pl.BlockSpec(c.shape, const_map))
 
-    def smap(a, bi_, bj_, na_, *invs, ox=0, oy=0, si=0):
-        i2 = bi_[a] + ox
-        j2 = bj_[a] + oy
-        if kper[0]:
-            i2 = jax.lax.rem(i2 + jnp.int32(nx), jnp.int32(nx))
-            iok = True
-        else:
-            iok = (i2 >= 0) & (i2 <= nx - 1)
-        if kper[1]:
-            j2 = jax.lax.rem(j2 + jnp.int32(ny), jnp.int32(ny))
-            jok = True
-        else:
-            jok = (j2 >= 0) & (j2 <= ny - 1)
-        flat = jnp.clip(i2, 0, nx - 1) * ny + jnp.clip(j2, 0, ny - 1)
-        e = invs[si][flat]
-        if iok is not True:
-            e = jnp.where(iok, e, 0)
-        if jok is not True:
-            e = jnp.where(jok, e, 0)
-        return (e, 0, 0)
+    # entry -> pencil id map (needed by the xy-view builds below and
+    # the program-filter compaction at the end)
+    ar = jnp.arange(nx * ny, dtype=jnp.int32)
+    A = dap.A
+    ent_of = jnp.zeros((A + 2,), jnp.int32).at[
+        jnp.clip(dps.inv, 0, A + 1)].set(ar, mode='drop')
+    ids = ent_of[1 + jnp.arange(A, dtype=jnp.int32)]
+    di_ids = ids // ny
+    dj_ids = ids % ny
+
+    # xy-concat source views: for every dest entry, the 9 (oy, ox)
+    # neighbor-pencil segments of the source pack, gathered in XLA as
+    # row gathers and lane-concatenated.  The kernel then DMAs ONE
+    # (1, R, 9*seg) block per phase instead of nine index-mapped
+    # views — per-program DMA-descriptor issue was the measured
+    # launch floor (~9.6 ms/eval at dx=0.02).  Row 0 is the reserved
+    # zero block (matches pack entry numbering).
+    xy_cache = {}
+
+    def _xy_view(sps_pack, inv_s, seg_l, key):
+        if key in xy_cache:
+            return xy_cache[key]
+        packseg = sps_pack[:, :, :seg_l]
+        secs = []
+        for oy in oys:
+            for ox in oxs:
+                i2 = di_ids + ox
+                j2 = dj_ids + oy
+                if kper[0]:
+                    i2 = jnp.remainder(i2 + nx, nx)
+                    iok = None
+                else:
+                    iok = (i2 >= 0) & (i2 <= nx - 1)
+                if kper[1]:
+                    j2 = jnp.remainder(j2 + ny, ny)
+                    jok = None
+                else:
+                    jok = (j2 >= 0) & (j2 <= ny - 1)
+                flat = jnp.clip(i2, 0, nx - 1) * ny + \
+                    jnp.clip(j2, 0, ny - 1)
+                e = inv_s[flat]
+                if iok is not None:
+                    e = jnp.where(iok, e, 0)
+                if jok is not None:
+                    e = jnp.where(jok, e, 0)
+                secs.append(packseg[e])
+        xy = jnp.concatenate(secs, axis=-1)
+        xy = jnp.concatenate(
+            [jnp.zeros((1,) + xy.shape[1:], xy.dtype), xy], axis=0)
+        xy_cache[key] = xy
+        return xy
 
     env_u = os.environ.get('PYSPH_TPU_UNION', 'auto')
     dname = dest_name
@@ -1028,31 +1118,34 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
         use = tuple(p for p in sap.planes[:n_src]
                     if p in s_read or p in _XYZH)
         pack_idx = tuple(1 + sap.planes.index(p) for p in use)
-        # source views DMA only up to the highest used plane.  Mosaic
-        # requires a lane-partial block's width to be a multiple of
-        # 128 (or equal to the array's); round the segment up (extra
-        # lanes carry the next planes — harmless), falling back to
-        # the full width.
+        # source views carry only the planes up to the highest used
+        # one (128-lane aligned); the xy-concat view pre-gathers that
+        # segment for all 9 (oy, ox) offsets — one DMA per phase
         full_l = (1 + len(sap.planes)) * Ms
         seg_l = (1 + max(pack_idx)) * Ms
         if seg_l != full_l and seg_l % 128:
             seg_l = min(_pad_up(seg_l, 128), full_l)
-        spec_blk = (1, R, seg_l)
-        for oy in oys:
-            for ox in oxs:
-                ins.append(sps.pack)
-                in_specs.append(pl.BlockSpec(
-                    spec_blk,
-                    functools.partial(smap, ox=ox, oy=oy,
-                                      si=len(inv_srcs) - 1)))
+        ins.append(_xy_view(sps.pack, sps.inv, seg_l,
+                            (src_name, seg_l)))
+        in_specs.append(pl.BlockSpec((1, R, n_oxy * seg_l),
+                                     dest_map))
         s_const_list = sorted(
             set(rec.sources[len(src_metas)][1]))
         for p in s_const_list:
             c = jnp.asarray(sstore.flat[p]).reshape(1, -1)
             ins.append(c)
             in_specs.append(pl.BlockSpec(c.shape, const_map))
+        # calibrated K-cascade sub-levels (at most 2 to bound the
+        # extra physics trace copies; dense self-pairs usually
+        # measure none below their cap)
+        levels = ()
+        if K is not None:
+            levels = tuple(sorted(set(
+                l for l in spec.window_levels.get(
+                    '%s<-%s' % (dname, src_name), ())
+                if 128 <= l < K))[-2:])
         src_metas.append((src_name, use, pack_idx, Ms,
-                          tuple(s_const_list), K))
+                          tuple(s_const_list), K, levels, seg_l))
         eqs_list.append(eqs)
 
     width = max(Kmax, max(n_oz * plan.arrays[s].M
@@ -1103,15 +1196,6 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
                              kernel_obj, domain, radius_scale, meta)
     from jax.experimental.pallas import tpu as pltpu
     n_scratch = Po + (1 if window_any else 0)
-    # pencil coords of each dest entry (entry e=a+1): recover from inv
-    # by argsort? store directly: pid rows exist but coords are
-    # cheaper via the inverse map
-    ar = jnp.arange(nx * ny, dtype=jnp.int32)
-    A = dap.A
-    # entry -> pencil id: scatter inv
-    ent_of = jnp.zeros((A + 2,), jnp.int32).at[
-        jnp.clip(dps.inv, 0, A + 1)].set(ar, mode='drop')
-    ids = ent_of[1 + jnp.arange(A, dtype=jnp.int32)]
 
     # source-proximity filter: a dest pencil with no source pencil in
     # its (oy, ox) neighborhood has nothing to accumulate — skip its
@@ -1141,17 +1225,15 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
     bj = ids_o % ny
     na_pf = n_eff.reshape(1)
 
-    n_prefetch = 4 + len(inv_srcs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_prefetch, grid=(A,),
+        num_scalar_prefetch=4, grid=(A,),
         in_specs=in_specs, out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((R, Md), fdt)
                         for _ in range(n_scratch)])
     result = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-        **_compiler_kwargs(pltpu))(bi, bj, na_pf, *inv_srcs, ent,
-                                   *ins)
+        **_compiler_kwargs(pltpu))(bi, bj, na_pf, ent, *ins)
     if window_any:
         outp, exc = result
     else:
@@ -1308,45 +1390,145 @@ class ResidentRunner(object):
     def compute(self, t, dt, stores, handle):
         """Run all groups on the PackStores (mutated in place);
         returns the overflow-flag diag."""
-        from pysph_tpu.sph.acceleration_eval import (
-            _bind_particle_phase, empty_diag)
-        a_eval = self.a_eval
+        from pysph_tpu.sph.acceleration_eval import empty_diag
         diag = empty_diag()
+        for group in self.a_eval.groups:
+            diag = self._run_tree(group, t, dt, stores, handle, diag)
+        return diag
+
+    def _run_tree(self, group, t, dt, stores, handle, diag):
+        if getattr(group, 'iterate', False):
+            return self._run_iterated(group, t, dt, stores, handle,
+                                      diag)
+        subs = [it for it in group.equations if isinstance(it, Group)]
+        if subs:
+            for sub in subs:
+                diag = self._run_tree(sub, t, dt, stores, handle,
+                                      diag)
+            return diag
+        for g2, dest, eqs_by_src in self._walk_groups([group]):
+            diag = self._run_dest(g2, dest, eqs_by_src, t, dt, stores,
+                                  handle, diag)
+        return diag
+
+    def _run_iterated(self, group, t, dt, stores, handle, diag):
+        """Fixed-point group on resident packs: the sub-tree runs
+        inside a ``lax.while_loop`` whose carry is every store's
+        (pack, flat) state + the overflow diag; convergence is the
+        AND of the equations' ``converged()`` on the packs (mirrors
+        the compact path, sph/acceleration_eval.py:1072; reference
+        group iteration sph/acceleration_eval_cython.mako:305-357).
+        This is the IISPH/SISPH-class fast path."""
+        max_it = int(group.max_iterations)
+        min_it = int(group.min_iterations)
+        names = list(stores)
+
+        def carry_of(stores_l):
+            return {n: (stores_l[n].finalize_pack(),
+                        dict(stores_l[n].flat)) for n in names}
+
+        def body(carry):
+            st_c, it, _conv, d = carry
+            stores_l = {n: PackStore(self.plan, n, st_c[n][0],
+                                     dict(st_c[n][1]))
+                        for n in names}
+            d = self._run_tree_once(group, t, dt, stores_l, handle, d)
+            conv = self._converged(group, stores_l)
+            return (carry_of(stores_l), it + 1, conv, d)
+
+        def cond(carry):
+            _, it, conv, _ = carry
+            return (it < max_it) & ~(conv & (it >= min_it))
+
+        init = (carry_of(stores), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), diag)
+        st_c, _it, _conv, diag = jax.lax.while_loop(cond, body, init)
+        for n in names:
+            stores[n].ps = st_c[n][0]
+            stores[n].flat = dict(st_c[n][1])
+            stores[n].cache = {}
+            stores[n].dirty = set()
+        return diag
+
+    def _run_tree_once(self, group, t, dt, stores, handle, diag):
+        """One pass over an iterated group's sub-tree (no iteration
+        at this level; nested iterate groups recurse normally)."""
+        subs = [it for it in group.equations if isinstance(it, Group)]
+        if subs:
+            for sub in subs:
+                diag = self._run_tree(sub, t, dt, stores, handle,
+                                      diag)
+            return diag
+        for g2, dest, eqs_by_src in self._walk_groups([group]):
+            diag = self._run_dest(g2, dest, eqs_by_src, t, dt, stores,
+                                  handle, diag)
+        return diag
+
+    def _converged(self, group, stores):
+        from pysph_tpu.sph.acceleration_eval import ReduceView
+        from pysph_tpu.sph.equation import _method_args
+        conv = jnp.asarray(True)
+        for eq in self.a_eval._iter_equations([group]):
+            fn = getattr(eq, 'converged', None)
+            if fn is None:
+                continue
+            if 'dst' in _method_args(fn):
+                store = stores[eq.dest]
+                view = ReduceView(store,
+                                  self.a_eval.schemas[eq.dest], None,
+                                  store.active_mask())
+                val = fn(dst=view)
+            else:
+                val = fn()
+            conv = conv & (jnp.asarray(val) > 0)
+        return conv
+
+    def _run_dest(self, group, dest, eqs_by_src, t, dt, stores,
+                  handle, diag):
+        from pysph_tpu.sph.acceleration_eval import (
+            ReduceView, _bind_particle_phase)
+        a_eval = self.a_eval
         geometry = (handle.origin, handle.widths)
-        for group, dest, eqs_by_src in self._walk_groups():
-            store = stores[dest]
-            schema = a_eval.schemas[dest]
-            mask = store.active_mask()
-            if group.real:
-                mask = mask & (store['tag'] == 0)
-            dests_eqs = [eq for eq in group.equations
-                         if not isinstance(eq, Group) and
-                         eq.dest == dest]
-            for eq in dests_eqs:
-                fn = getattr(eq, 'initialize', None)
+        store = stores[dest]
+        schema = a_eval.schemas[dest]
+        mask = store.active_mask()
+        if group.real:
+            mask = mask & (store['tag'] == 0)
+        dests_eqs = [eq for eq in group.equations
+                     if not isinstance(eq, Group) and
+                     eq.dest == dest]
+        for eq in dests_eqs:
+            fn = getattr(eq, 'initialize', None)
+            if fn is not None:
+                _bind_particle_phase(fn, store, schema, mask, t,
+                                     dt, a_eval.kernel)
+        for eq in dests_eqs:
+            if eq.no_source:
+                fn = getattr(eq, 'loop', None)
                 if fn is not None:
-                    _bind_particle_phase(fn, store, schema, mask, t,
-                                         dt, a_eval.kernel)
-            for eq in dests_eqs:
-                if eq.no_source:
-                    fn = getattr(eq, 'loop', None)
-                    if fn is not None:
-                        _bind_particle_phase(fn, store, schema, mask,
-                                             t, dt, a_eval.kernel)
-            rec = self._recs.get((id(group), dest))
-            if rec is not None and rec.out_ops:
-                flags = execute_resident(
-                    self.plan, eqs_by_src, dest, stores, rec,
-                    a_eval.kernel, a_eval.domain,
-                    a_eval.grid_spec.radius_scale, group.real, t, dt,
-                    geometry, interpret=self.interpret)
-                for k, v in flags.items():
-                    diag[k] = diag[k] | v
-            for eq in dests_eqs:
-                fn = getattr(eq, 'post_loop', None)
-                if fn is not None:
-                    _bind_particle_phase(fn, store, schema, mask, t,
-                                         dt, a_eval.kernel)
+                    _bind_particle_phase(fn, store, schema, mask,
+                                         t, dt, a_eval.kernel)
+        rec = self._recs.get((id(group), dest))
+        if rec is not None and rec.out_ops:
+            flags = execute_resident(
+                self.plan, eqs_by_src, dest, stores, rec,
+                a_eval.kernel, a_eval.domain,
+                a_eval.grid_spec.radius_scale, group.real, t, dt,
+                geometry, interpret=self.interpret)
+            diag = dict(diag)
+            for k, v in flags.items():
+                diag[k] = diag[k] | v
+        for eq in dests_eqs:
+            fn = getattr(eq, 'post_loop', None)
+            if fn is not None:
+                _bind_particle_phase(fn, store, schema, mask, t,
+                                     dt, a_eval.kernel)
+        for eq in dests_eqs:
+            fn = getattr(eq, 'reduce', None)
+            if fn is not None:
+                view = ReduceView(store, schema, mask,
+                                  store.active_mask())
+                fn(dst=view, t=t, dt=dt)
         return diag
 
 

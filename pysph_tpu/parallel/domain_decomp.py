@@ -665,9 +665,17 @@ class DistributedRunner(object):
 
     def __init__(self, integrator, partition, devices=None,
                  local_capacity=None, buffer_capacity=256, cfl=0.3,
-                 adaptive_timestep=False):
+                 adaptive_timestep=False, rebalance_freq=0):
         self.integrator = integrator
         self.partition = partition
+        # re-split the weighted partition every N step_checked calls
+        # (0 = never).  The cheap static analog of the reference's
+        # lb_freq Zoltan repartition (parallel_manager.pyx:532,615):
+        # for a dam break the fluid mass crosses blocks over the run,
+        # so a setup-time split drifts out of balance.
+        self.rebalance_freq = int(rebalance_freq)
+        self._steps_done = 0
+        self._pas = None
         devices = devices if devices is not None else \
             jax.devices()[:partition.n_blocks]
         if len(devices) != partition.n_blocks:
@@ -702,6 +710,7 @@ class DistributedRunner(object):
         """Partition host particle arrays into per-block padded shards."""
         part = self.partition
         nb = part.n_blocks
+        self._pas = list(particle_arrays)
         if local_capacity is not None:
             self.local_capacity = local_capacity
         # the runtime halo band in update_cached uses hmax reduced
@@ -932,10 +941,56 @@ class DistributedRunner(object):
         self.local_capacity = None  # sized by the arrays now
         return self._device_put(out)
 
+    def imbalance(self, gstates):
+        """(max/mean, counts) Local-particle occupancy over blocks —
+        the load-balance quality metric (host fetch)."""
+        nb = self.partition.n_blocks
+        counts = np.zeros(nb, np.int64)
+        for name, gstate in gstates.items():
+            tags = np.asarray(gstate['tag'])
+            n_act = np.asarray(gstate['n_act'])
+            cap = tags.shape[0] // nb
+            for blk in range(nb):
+                sl = tags[blk * cap:blk * cap + int(n_act[blk])]
+                counts[blk] += int(np.sum(sl == ParticleTAGS.Local))
+        return float(counts.max() / max(counts.mean(), 1e-12)), counts
+
+    def rebalance(self, gstates):
+        """Re-split the partition planes at the current particle
+        quantiles and redistribute — the cheap static analog of the
+        reference's periodic Zoltan repartition
+        (parallel_manager.pyx:532 update_partition every lb_freq
+        steps).  Host-side (runs at output cadence, not per step);
+        only meaningful for weighted partitions but valid for any.
+
+        Returns the new gstates."""
+        part = self.partition
+        self.collect(gstates, self._pas)
+        coords = [np.concatenate([np.asarray(pa.get(ax))
+                                  for pa in self._pas])
+                  for ax in part.axes]
+        new = BlockPartition.weighted(
+            part.shape, coords, axes=part.axes,
+            lo=part.los, hi=part.his, periodic=part.periodics,
+            halo_factor=part.halo_factor,
+            buffer_capacity=part.buffer_capacity)
+        self.partition = new
+        self.exchange.partition = new
+        self._invalidate()
+        self.local_capacity = None   # re-estimate for the new split
+        return self.distribute(self._pas)
+
     def step_checked(self, gstates, t, dt):
         """``step`` + the Solver's overflow recovery: on any overflow
         flag, grow the corresponding static capacity, re-jit, and redo
-        the step from the (unmodified) pre-step state."""
+        the step from the (unmodified) pre-step state.  With
+        ``rebalance_freq`` set, periodically re-splits the partition
+        at the current particle quantiles first."""
+        if (self.rebalance_freq > 0 and self._steps_done > 0 and
+                self._steps_done % self.rebalance_freq == 0 and
+                self._pas is not None):
+            gstates = self.rebalance(gstates)
+        self._steps_done += 1
         for attempt in range(self.MAX_GROWS + 1):
             new_gstates, dt_next, diag = self.step(gstates, t, dt)
             flags = {k: bool(v) for k, v in diag.items()

@@ -116,9 +116,36 @@ class Application(object):
         parser.add_argument('-o', '--fname', action='store',
                             dest='fname', default=None,
                             help='Output file base name.')
-        parser.add_argument('--compress-output', action='store_true',
+        parser.add_argument('-z', '--compress-output',
+                            action='store_true',
                             dest='compress_output', default=False,
                             help='Compress the output files.')
+        parser.add_argument('-l', '--print-log', action='store_true',
+                            dest='print_log', default=False,
+                            help='Echo log messages to stderr (the '
+                                 'default unless -q; kept for CLI '
+                                 'parity, reference application.py:283).')
+        parser.add_argument('--output-dump-remote', action='store_true',
+                            dest='output_dump_remote', default=False,
+                            help='Include non-local (halo/ghost) '
+                                 'particles in output dumps '
+                                 '(reference application.py:407).')
+        parser.add_argument('--fixed-h', action='store_true',
+                            dest='fixed_h', default=False,
+                            help='Smoothing lengths are constant: '
+                                 'skip per-step hmax reductions '
+                                 '(reference application.py:562).')
+        parser.add_argument('--sort-gids', action='store_true',
+                            dest='sort_gids', default=False,
+                            help='Accepted for parity (reference '
+                                 'application.py:576): results are '
+                                 'already deterministic here — the '
+                                 'pair gather order is fixed by the '
+                                 'grid, independent of process count.')
+        parser.add_argument('--ghost-layers', action='store', type=int,
+                            dest='ghost_layers', default=None,
+                            help='Periodic/mirror ghost layer depth '
+                                 '(reference application.py:642).')
         parser.add_argument('--output-at-times', action='store',
                             dest='output_at_times', default=None,
                             help='Comma-separated times to dump at.')
@@ -143,6 +170,11 @@ class Application(object):
         parser.add_argument('--command-interval', action='store',
                             type=int, dest='command_interval', default=1,
                             help='Command-handler polling interval.')
+        parser.add_argument('-i', '--interactive', action='store_true',
+                            dest='interactive', default=False,
+                            help='Interactive commandline control '
+                                 'interface (reference '
+                                 'application.py:699).')
         parser.add_argument('--xml-rpc', action='store', dest='xml_rpc',
                             default=None, metavar='HOST:PORT',
                             help='Serve an XML-RPC control interface.')
@@ -380,6 +412,13 @@ class Application(object):
             solver.set_output_fname(options.fname)
         if getattr(options, 'compress_output', False):
             solver.set_compress_output(True)
+        if getattr(options, 'output_dump_remote', False):
+            solver.set_output_only_real(False)
+        if getattr(options, 'fixed_h', False):
+            solver.fixed_h = True
+        if getattr(options, 'ghost_layers', None) is not None and \
+                self.domain is not None:
+            self.domain.n_layers = float(options.ghost_layers)
         if getattr(options, 'output_at_times', None):
             times = [float(t) for t in
                      str(options.output_at_times).split(',') if t]
@@ -399,12 +438,16 @@ class Application(object):
 
         # remote-control interfaces (reference application.py:1100)
         if getattr(options, 'xml_rpc', None) or \
-                getattr(options, 'multiproc', None):
+                getattr(options, 'multiproc', None) or \
+                getattr(options, 'interactive', False):
             from pysph_tpu.solver.controller import CommandManager
             from pysph_tpu.solver import solver_interfaces as si
             cm = CommandManager(solver)
             solver.set_command_handler(cm.execute_commands,
                                        options.command_interval)
+            if getattr(options, 'interactive', False):
+                iface = si.CommandlineInterface()
+                cm.add_interface(iface.start)
             if options.xml_rpc:
                 host, _, port = options.xml_rpc.partition(':')
                 iface = si.XMLRPCInterface((host or 'localhost',

@@ -624,8 +624,11 @@ class Solver(object):
             og, wd, _ = jax.jit(spec.geometry)(self.states)
             og, wd = np.asarray(og), np.asarray(wd)
             from pysph_tpu.ops.calibrate import calibrate_window_caps
+            levels = {}
             caps = calibrate_window_caps(
-                self.acceleration_evals, self.states, spec, og, wd)
+                self.acceleration_evals, self.states, spec, og, wd,
+                levels_out=levels)
+            spec.window_levels.update(levels)
         except Exception:
             logger.exception(
                 'window calibration failed; keeping defaults')

@@ -125,7 +125,7 @@ def _evaluate(pa, eqs, dim):
     seval.evaluate(0.0, 0.1)
 
 
-@pytest.mark.parametrize('dim', [2, 3])
+@pytest.mark.parametrize('dim', [2, pytest.param(3, marks=pytest.mark.slow)])
 @pytest.mark.parametrize('perturbed', [False, True],
                          ids=['regular', 'perturbed'])
 def test_gradient_correction_exact_linear(dim, perturbed):
@@ -143,7 +143,7 @@ def test_gradient_correction_exact_linear(dim, perturbed):
     np.testing.assert_array_almost_equal(pa.gradu, expect, decimal=5)
 
 
-@pytest.mark.parametrize('dim', [2, 3])
+@pytest.mark.parametrize('dim', [2, pytest.param(3, marks=pytest.mark.slow)])
 @pytest.mark.parametrize('perturbed', [False, True],
                          ids=['regular', 'perturbed'])
 def test_mixed_gradient_correction_exact_linear(dim, perturbed):
@@ -162,7 +162,7 @@ def test_mixed_gradient_correction_exact_linear(dim, perturbed):
     np.testing.assert_array_almost_equal(pa.gradu, expect, decimal=5)
 
 
-@pytest.mark.parametrize('dim', [2, 3])
+@pytest.mark.parametrize('dim', [2, pytest.param(3, marks=pytest.mark.slow)])
 @pytest.mark.parametrize('perturbed', [False, True],
                          ids=['regular', 'perturbed'])
 def test_crksph_moments_and_gradient(dim, perturbed):

@@ -187,6 +187,7 @@ def test_serial_vs_sharded_2d_mesh():
     np.testing.assert_allclose(got['rho'], ref['rho'], rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_periodic_ring_vs_serial():
     """Periodic channel: a periodic 1-D partition (halo images shifted
     across the seam) must match a serial run using DomainManager
@@ -386,6 +387,7 @@ def test_overflow_grow_redo():
     np.testing.assert_allclose(got['rho'], ref['rho'], rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_multihop_migration():
     """Particles displaced several blocks away must be re-homed by the
     bounded while_loop migration (reference analog:
@@ -548,6 +550,7 @@ def test_weighted_partition_imbalance():
     assert np.all(np.diff(e) > 0)
 
 
+@pytest.mark.slow
 def test_serial_vs_sharded_weighted_partition():
     """Physics invariance under the weighted partition: same bar as
     test_serial_vs_sharded_equality but with quantile split planes
@@ -593,6 +596,7 @@ def test_serial_vs_sharded_weighted_partition():
     np.testing.assert_allclose(drho, srho, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_distributed_binning_reuse():
     """Carry reuse across distributed steps (VERDICT round-3 #6): in
     steady state the exchange's full update is a row-layout fixed
@@ -621,3 +625,79 @@ def test_distributed_binning_reuse():
     # step 0 must bin; the slow drift of this configuration cannot
     # exhaust the Verlet margin in 5 more tiny steps
     assert rebins <= 2, rebins
+
+
+@pytest.mark.slow
+def test_rebalance_preserves_physics_and_balance():
+    """Periodic re-split (DistributedRunner.rebalance, the static
+    analog of the reference's lb_freq repartition,
+    parallel_manager.pyx:532,615): re-splitting mid-run must leave
+    the physics bit-compatible with an uninterrupted serial run, and
+    must restore balance on a drifted distribution."""
+    n_blocks = 4
+    if len(jax.devices()) < n_blocks:
+        pytest.skip('not enough devices')
+    n_steps, dt = 4, 1e-4
+
+    pa_serial = _make_particles()
+    serial = _run_serial(pa_serial, n_steps, dt)
+    n = int(serial['fluid']['n_act'])
+    srho = np.asarray(serial['fluid']['rho'])[:n][
+        np.argsort(np.asarray(serial['fluid']['gid'])[:n])]
+    sx = np.asarray(serial['fluid']['x'])[:n][
+        np.argsort(np.asarray(serial['fluid']['gid'])[:n])]
+
+    pa_dist = _make_particles()
+    integ = _make_integrator(pa_dist)
+    partition = BlockPartition.weighted(
+        n_blocks, [np.asarray(pa_dist.x)], lo=0.0, hi=2.0,
+        axes=('x',))
+    runner = DistributedRunner(integ, partition,
+                               devices=jax.devices()[:n_blocks],
+                               buffer_capacity=512)
+    gstates = runner.distribute([pa_dist])
+    t = 0.0
+    for i in range(n_steps):
+        if i == 2:
+            # mid-run re-split at the current particle quantiles
+            gstates = runner.rebalance(gstates)
+            imb, counts = runner.imbalance(gstates)
+            assert counts.sum() == n
+            assert imb <= 2.0, 'post-rebalance imbalance %.2f' % imb
+        gstates, dt_next, diag = runner.step(gstates, t, dt)
+        assert not bool(diag['capacity_overflow'])
+        t += dt
+    runner.collect(gstates, [pa_dist])
+    assert pa_dist.get_number_of_particles() == n
+    order = np.argsort(pa_dist.gid)
+    np.testing.assert_allclose(pa_dist.x[order], sx, rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(pa_dist.rho[order], srho, rtol=1e-9)
+
+
+def test_rebalance_restores_drifted_balance():
+    """A partition split for the initial distribution goes unbalanced
+    once the mass moves (dam-break drift); rebalance() must bring
+    max/mean back under the weighted bound.  Regression bound for
+    VERDICT r4 'load imbalance drift unmeasured'."""
+    n_blocks = 8
+    if len(jax.devices()) < n_blocks:
+        pytest.skip('not enough devices')
+    rng = np.random.RandomState(11)
+    n = 2000
+    # initial: left-packed column, split planes fitted to it
+    x0 = rng.uniform(0.0, 0.5, n)
+    part = BlockPartition.weighted(n_blocks, [x0], lo=0.0, hi=2.0,
+                                   axes=('x',))
+    imb0, _ = part.imbalance([x0])
+    assert imb0 <= 2.0
+    # the dam collapses: mass spreads over the full tank
+    x1 = rng.uniform(0.0, 2.0, n)
+    imb1, _ = part.imbalance([x1])
+    assert imb1 > 2.0, 'drift did not unbalance (test vacuous)'
+    # re-split at the new quantiles
+    part2 = BlockPartition.weighted(n_blocks, [x1], lo=0.0, hi=2.0,
+                                    axes=('x',))
+    imb2, counts = part2.imbalance([x1])
+    assert imb2 <= 2.0, 're-split imbalance %.2f' % imb2
+    assert counts.sum() == n

@@ -301,6 +301,7 @@ def _gauss2d(dx, dy, h):
     return w, tmp * dx, tmp * dy
 
 
+@pytest.mark.slow
 def test_dam_break_2d_adami_wall_bc_1e6():
     """dam_break_2d gate (BASELINE.md): the Adami generalized wall BC
     (reference wc/transport_velocity.py:641 SolidWallPressureBC, :84
@@ -438,6 +439,7 @@ def test_dam_break_2d_adami_wall_bc_1e6():
     assert _rel_l2(np.asarray(fluid.av), av) <= 1e-6
 
 
+@pytest.mark.slow
 def test_taylor_green_periodic_tvf_1e6():
     """taylor_green gate (BASELINE.md): the periodic TVF pipeline
     (SummationDensity -> StateEquation -> pressure gradient +
@@ -542,3 +544,321 @@ def test_taylor_green_periodic_tvf_1e6():
     assert _rel_l2(np.asarray(fluid.au), au) <= 1e-6
     assert _rel_l2(np.asarray(fluid.av), av) <= 1e-6
     assert _rel_l2(np.asarray(fluid.auhat), auhat) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# IISPH: iterative relaxed-Jacobi pressure solve
+# (reference /root/reference/pysph/sph/iisph.py:264-367)
+# ---------------------------------------------------------------------------
+class NumpyIISPH(object):
+    """All-pairs float64 IISPH (fluids only, nu=0): summation density,
+    advection prediction, dii/aii assembly, the iterated
+    ComputeDIJPJ + PressureSolve group (min 2 / max 30 sweeps,
+    converged on mean compression), PressureForce, Euler step — the
+    reference's scalar loops vectorized, sharing no code with the
+    engine under test."""
+
+    def __init__(self, x, y, m, h, u, v, rho0, omega=0.5, tol=1e-2,
+                 gy=0.0):
+        self.x, self.y = x.astype(np.float64), y.astype(np.float64)
+        self.m, self.h = m.astype(np.float64), h.astype(np.float64)
+        self.u, self.v = u.astype(np.float64), v.astype(np.float64)
+        self.rho0, self.omega, self.tol, self.gy = rho0, omega, tol, gy
+        n = x.size
+        self.p = np.zeros(n)
+        self.rho = np.zeros(n)
+        self.iterations = []
+
+    # CubicSpline dim=2 (reference base/kernels.py:29): sigma=10/(7pi)
+    def _kern(self):
+        dxp = self.x[:, None] - self.x[None, :]
+        dyp = self.y[:, None] - self.y[None, :]
+        r = np.sqrt(dxp * dxp + dyp * dyp)
+        hij = 0.5 * (self.h[:, None] + self.h[None, :])
+        q = r / hij
+        sig = 10.0 / (7.0 * np.pi)
+        fac = sig / (hij * hij)
+        w_in = 1.0 - 1.5 * q * q * (1.0 - 0.5 * q)
+        w_mid = 0.25 * (2.0 - q) ** 3
+        w = fac * np.where(q > 2.0, 0.0,
+                           np.where(q > 1.0, w_mid, w_in))
+        dw_in = -3.0 * q * (1.0 - 0.75 * q)
+        dw_mid = -0.75 * (2.0 - q) ** 2
+        dwdq = np.where(q > 2.0, 0.0,
+                        np.where(q > 1.0, dw_mid, dw_in))
+        rinv = np.where(r > 1e-12, 1.0 / np.maximum(r, 1e-12), 0.0)
+        grad = sig / (hij ** 3) * dwdq * rinv
+        dwx = grad * dxp
+        dwy = grad * dyp
+        return w, dwx, dwy
+
+    def step(self, dt):
+        m, rho0 = self.m, self.rho0
+        w, dwx, dwy = self._kern()
+        # SummationDensity
+        rho = np.sum(m[None, :] * w, axis=1)
+        # AdvectionAcceleration (nu = 0)
+        uadv = self.u + dt * 0.0
+        vadv = self.v + dt * self.gy
+        # ComputeDII
+        ri2 = 1.0 / (rho * rho)
+        dii0 = np.sum(-m[None, :] * ri2[:, None] * dwx, axis=1)
+        dii1 = np.sum(-m[None, :] * ri2[:, None] * dwy, axis=1)
+        # ComputeRhoAdvection + ComputeAII
+        du = uadv[:, None] - uadv[None, :]
+        dv = vadv[:, None] - vadv[None, :]
+        rho_adv = rho + dt * np.sum(
+            m[None, :] * (du * dwx + dv * dwy), axis=1)
+        piter = 0.5 * self.p
+        fac = (self.m * ri2)
+        aii = np.sum(m[None, :] * (
+            (dii0[:, None] - fac[:, None] * dwx) * dwx +
+            (dii1[:, None] - fac[:, None] * dwy) * dwy), axis=1)
+        # iterated pressure group (min 2, max 30)
+        dt2 = dt * dt
+        it = 0
+        while True:
+            # ComputeDIJPJ
+            rj2pj = m / (rho * rho) * piter
+            dijpj0 = np.sum(-rj2pj[None, :] * dwx, axis=1)
+            dijpj1 = np.sum(-rj2pj[None, :] * dwy, axis=1)
+            # PressureSolve sweep
+            facp = self.m * ri2 * piter
+            djkpk0 = dijpj0[None, :] - facp[:, None] * dwx
+            djkpk1 = dijpj1[None, :] - facp[:, None] * dwy
+            tmp0 = dijpj0[:, None] - (dii0 * piter)[None, :] - djkpk0
+            tmp1 = dijpj1[:, None] - (dii1 * piter)[None, :] - djkpk1
+            psum = np.sum(m[None, :] * (tmp0 * dwx + tmp1 * dwy),
+                          axis=1)
+            tmp = rho0 - rho_adv - psum * dt2
+            dnr = aii * dt2
+            ok = np.abs(dnr) > 1e-9
+            pnew = np.where(ok, np.maximum(
+                (1.0 - self.omega) * piter +
+                self.omega / np.where(ok, dnr, 1.0) * tmp, 0.0), 0.0)
+            compression = np.where(pnew != 0.0,
+                                   np.abs(pnew * dnr - tmp) + rho0,
+                                   rho0)
+            piter = pnew
+            it += 1
+            cnt = np.sum(compression > 0)
+            avg = np.sum(compression) / cnt if cnt else rho0
+            conv = abs(avg - rho0) / rho0 <= self.tol
+            if not (it < 30 and not (conv and it >= 2)):
+                break
+        self.iterations.append(it)
+        p = piter
+        # PressureForce
+        pfac = -m[None, :] * (p * ri2)[:, None]
+        pfac = pfac + (-m * p / (rho * rho))[None, :]
+        au = np.sum(pfac * dwx, axis=1)
+        av = np.sum(pfac * dwy, axis=1)
+        # IISPHStep stage1 (Euler)
+        self.u = uadv + dt * au
+        self.v = vadv + dt * av
+        self.x = self.x + dt * self.u
+        self.y = self.y + dt * self.v
+        self.rho, self.p = rho, p
+
+
+def test_iisph_pressure_solve_1e6():
+    """IISPH dam-break-class physics (BASELINE.md benchmark config
+    row 5): the iterated relaxed-Jacobi group must track the
+    independent float64 all-pairs oracle to 1e-6 relative L2 on
+    rho/p/x/u over 3 Euler steps, including the data-dependent sweep
+    count (reference sph/iisph.py:264-367, Group(iterate=True,
+    max_iterations=30, min_iterations=2) iisph.py:625)."""
+    from pysph_tpu.base.cell_grid import GridSpec
+    from pysph_tpu.base.kernels import CubicSpline
+    from pysph_tpu.base.utils import get_particle_array_iisph
+    from pysph_tpu.sph.acceleration_eval import AccelerationEval
+    from pysph_tpu.sph.iisph import IISPHScheme, IISPHStep
+    from pysph_tpu.sph.integrator import EulerIntegrator
+
+    dx, rho0 = 0.1, 1000.0
+    span = np.arange(-0.7, 0.7 + 1e-9, dx)
+    x, y = np.meshgrid(span, span)
+    x, y = x.ravel(), y.ravel()
+    n = x.size
+    m = np.full(n, rho0 * dx * dx)
+    h = np.full(n, 1.3 * dx)
+    # strong inward velocity -> compression -> a multi-sweep solve
+    u, v = -5.0 * x, -5.0 * y
+
+    scheme = IISPHScheme(fluids=['fluid'], solids=[], dim=2,
+                         rho0=rho0, nu=0.0, omega=0.5,
+                         tolerance=1e-2)
+    pa = get_particle_array_iisph(name='fluid', x=x, y=y, m=m, h=h,
+                                  u=u, v=v)
+    scheme.setup_properties([pa], clean=False)
+    equations = scheme.get_equations()
+    integrator = EulerIntegrator(fluid=IISPHStep())
+    a_eval = AccelerationEval([pa], equations, CubicSpline(dim=2))
+    integrator.set_acceleration_evals([a_eval])
+    integrator.set_nnps(GridSpec.from_particles(
+        [pa], dim=2, radius_scale=2.0, capacity_slack=2.5))
+
+    oracle = NumpyIISPH(x, y, m, h, u, v, rho0)
+    state, _ = pa.to_device()
+    assert state['x'].dtype == jnp.float64
+    states = {'fluid': state}
+    dt = 5e-3
+    t, carry = 0.0, None
+    for _ in range(3):
+        states, diag, carry = integrator.step(states, t, dt, carry)
+        oracle.step(dt)
+        t += dt
+    for k in ('cell_overflow', 'extent_overflow'):
+        assert not bool(diag[k])
+    assert max(oracle.iterations) > 2, \
+        'oracle converged trivially; test is vacuous'
+
+    s = jax.tree_util.tree_map(np.asarray, states['fluid'])
+    assert int(s['n_act']) == n
+    for prop, ref in (('rho', oracle.rho), ('p', oracle.p),
+                      ('x', oracle.x), ('y', oracle.y),
+                      ('u', oracle.u), ('v', oracle.v)):
+        err = _rel_l2(s[prop][:n], ref)
+        assert err <= 1e-6, '%s rel L2 %.3g > 1e-6' % (prop, err)
+
+
+# ---------------------------------------------------------------------------
+# delta-SPH (+ gradient correction) — the BASELINE dam_break_3d variant's
+# physics (reference wc/basic.py:272-416, wc/kernel_correction.py:40-124)
+# ---------------------------------------------------------------------------
+class NumpyDeltaSPH(NumpyWCSPH):
+    """All-pairs float64 WCSPH + delta-SPH: Marrone 2011 eqn (5a/5b)
+    diffusive continuity with Bonet-Lok-corrected renormalized
+    density gradients, JOSEPHINE-style velocity diffusion replacing
+    the Monaghan artificial viscosity (the WCSPHScheme delta_sph=True
+    assembly, reference scheme.py:434-470)."""
+
+    def __init__(self, *args, delta=0.1, **kw):
+        super(NumpyDeltaSPH, self).__init__(*args, **kw)
+        self.delta = delta
+
+    def accelerations(self):
+        self.eos()
+        x, y, u, v = self.x, self.y, self.u, self.v
+        dx = x[:, None] - x[None, :]
+        dy = y[:, None] - y[None, :]
+        du = u[:, None] - u[None, :]
+        dv = v[:, None] - v[None, :]
+        hij = 0.5 * (self.h[:, None] + self.h[None, :])
+        w, dwx, dwy = self._kernel_terms(dx, dy, hij)
+        mj = self.m[None, :]
+        Vj = mj / self.rho[None, :]
+        eps = 0.01 * hij * hij
+        r2 = dx * dx + dy * dy
+
+        # GradientCorrectionPreStep: A_i = -sum_j V_j DW (x) XIJ
+        A = np.empty((x.size, 2, 2))
+        A[:, 0, 0] = np.sum(-Vj * dwx * dx, axis=1)
+        A[:, 0, 1] = np.sum(-Vj * dwx * dy, axis=1)
+        A[:, 1, 0] = np.sum(-Vj * dwy * dx, axis=1)
+        A[:, 1, 1] = np.sum(-Vj * dwy * dy, axis=1)
+        # GradientCorrection: solve A_i res = DWIJ per pair; accept
+        # when the L1 change is below tol (reference
+        # kernel_correction.py:98-124)
+        Ainv = np.linalg.inv(A)
+        resx = Ainv[:, 0, 0][:, None] * dwx + \
+            Ainv[:, 0, 1][:, None] * dwy
+        resy = Ainv[:, 1, 0][:, None] * dwx + \
+            Ainv[:, 1, 1][:, None] * dwy
+        eps1 = 1.0e-4 * hij
+        change = np.abs((np.abs(resx) + np.abs(resy)) -
+                        (np.abs(dwx) + np.abs(dwy))) / \
+            (np.abs(dwx) + np.abs(dwy) + eps1)
+        ok = change < 0.1
+        dwcx = np.where(ok, resx, dwx)
+        dwcy = np.where(ok, resy, dwy)
+
+        # ContinuityEquationDeltaSPHPreStep (corrected gradients)
+        drho = self.rho[None, :] - self.rho[:, None]
+        gradrx = np.sum(drho * Vj * dwcx, axis=1)
+        gradry = np.sum(drho * Vj * dwcy, axis=1)
+
+        # ContinuityEquation (plain) + delta term (plain gradients)
+        arho = np.sum(mj * (du * dwx + dv * dwy), axis=1)
+        fac = -2.0 * drho / (r2 + eps)
+        psix = fac * dx - gradrx[:, None] - gradrx[None, :]
+        psiy = fac * dy - gradry[:, None] - gradry[None, :]
+        arho += np.sum(self.delta * hij * self.c0 *
+                       (psix * dwx + psiy * dwy) * Vj, axis=1)
+
+        # MomentumEquation with alpha=0 + MomentumEquationDeltaSPH
+        tmpi = (self.p / (self.rho * self.rho))[:, None]
+        tmpj = (self.p / (self.rho * self.rho))[None, :]
+        facp = -mj * (tmpi + tmpj)
+        au = np.sum(facp * dwx, axis=1)
+        av = np.sum(facp * dwy, axis=1)
+        vdotx = du * dx + dv * dy
+        piij = vdotx / (r2 + eps)
+        tmpd = (self.alpha * hij * self.c0 * self.rho0 * piij * Vj /
+                self.rho[:, None])
+        au += np.sum(tmpd * dwx, axis=1)
+        av += np.sum(tmpd * dwy, axis=1)
+
+        # XSPH
+        rhoij1 = 2.0 / (self.rho[:, None] + self.rho[None, :])
+        ax = u - self.eps_xsph * np.sum(mj * w * rhoij1 * du, axis=1)
+        ay = v - self.eps_xsph * np.sum(mj * w * rhoij1 * dv, axis=1)
+        return arho, au, av, ax, ay
+
+
+@pytest.mark.slow
+def test_delta_sph_gradient_correction_1e6():
+    """WCSPH + delta-SPH (the BASELINE multi-chip dam-break variant):
+    rho/p/x/u track the independent float64 oracle to 1e-6 relative
+    L2 over 6 EPEC steps — gates the renormalized-gradient pipeline
+    (moment matrix, per-pair corrected DWIJ, diffusive continuity,
+    JOSEPHINE momentum diffusion)."""
+    from pysph_tpu.base.cell_grid import GridSpec
+    from pysph_tpu.base.kernels import Gaussian
+    from pysph_tpu.base.utils import get_particle_array_wcsph
+    from pysph_tpu.sph.acceleration_eval import AccelerationEval
+    from pysph_tpu.sph.integrator import EPECIntegrator
+    from pysph_tpu.sph.integrator_step import WCSPHStep
+    from pysph_tpu.sph.scheme import WCSPHScheme
+
+    c0, alpha, delta = 1400.0, 0.2, 0.1
+    x, y, m, h, rho, u, v = _drop_particles(nx=10)
+    oracle = NumpyDeltaSPH(x, y, m, h, rho, u, v, rho0=1.0, c0=c0,
+                           gamma=7.0, alpha=alpha, beta=0.0,
+                           delta=delta)
+
+    scheme = WCSPHScheme(
+        ['fluid'], [], dim=2, rho0=1.0, c0=c0, h0=float(h[0]),
+        hdx=1.3, gamma=7.0, alpha=alpha, beta=0.0, delta_sph=True,
+        delta=delta)
+    pa = get_particle_array_wcsph(
+        name='fluid', x=x, y=y, m=m, rho=rho, h=h, u=u, v=v,
+        cs=np.full(x.size, c0))
+    scheme.setup_properties([pa], clean=False)
+    equations = scheme.get_equations()
+    integrator = EPECIntegrator(fluid=WCSPHStep())
+    a_eval = AccelerationEval([pa], equations, Gaussian(dim=2))
+    integrator.set_acceleration_evals([a_eval])
+    integrator.set_nnps(GridSpec.from_particles(
+        [pa], dim=2, radius_scale=3.0, capacity_slack=2.5))
+
+    state, _ = pa.to_device()
+    assert state['x'].dtype == jnp.float64
+    states = {'fluid': state}
+    dt = 0.25 * 1.3 * 0.1 / (141 + c0)
+    t, carry = 0.0, None
+    for _ in range(6):
+        states, diag, carry = integrator.step(states, t, dt, carry)
+        oracle.epec_step(dt)
+        t += dt
+    for k in ('cell_overflow', 'extent_overflow'):
+        assert not bool(diag[k])
+
+    s = jax.tree_util.tree_map(np.asarray, states['fluid'])
+    n = oracle.x.size
+    assert int(s['n_act']) == n
+    for prop, ref in (('rho', oracle.rho), ('p', oracle.p),
+                      ('x', oracle.x), ('y', oracle.y),
+                      ('u', oracle.u), ('v', oracle.v)):
+        err = _rel_l2(s[prop][:n], ref)
+        assert err <= 1e-6, '%s rel L2 %.3g > 1e-6' % (prop, err)

@@ -54,6 +54,7 @@ def test_gsph_scheme_sod():
     _assert_finite(pa)
 
 
+@pytest.mark.slow
 def test_tsph_scheme_sod():
     from pysph_tpu.sph.gas_dynamics.tsph import TSPHScheme
     pa = _sod()
@@ -64,6 +65,7 @@ def test_tsph_scheme_sod():
     _assert_finite(pa)
 
 
+@pytest.mark.slow
 def test_psph_scheme_sod():
     from pysph_tpu.sph.gas_dynamics.psph import PSPHScheme
     pa = _sod()
@@ -74,6 +76,7 @@ def test_psph_scheme_sod():
     _assert_finite(pa, ('u', 'rho', 'p', 'alpha'))
 
 
+@pytest.mark.slow
 def test_magma2_scheme_sod():
     from pysph_tpu.sph.gas_dynamics.magma2 import MAGMA2Scheme
     pa = _sod(nl=40)
@@ -252,6 +255,7 @@ def test_inlet_recycles_particles():
     assert np.asarray(inlet.x).max() < 0.0
 
 
+@pytest.mark.slow
 def test_particle_packing_relaxes():
     from pysph_tpu.tools.particle_packing import (
         ParticlePacking, create_free_particles_rect,
@@ -278,6 +282,7 @@ def test_particle_packing_relaxes():
     assert y.min() > -dx and y.max() < 1 + dx
 
 
+@pytest.mark.slow
 def test_isph_pressure_gradient_symmetric_mirror():
     """Mirror variant (reference isph/isph.py:294): with every source
     particle away from the free surface (rho/rho0 >= 0.98) it must

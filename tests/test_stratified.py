@@ -110,6 +110,7 @@ def test_uniform_h_does_not_stratify():
     assert not spec.stratified
 
 
+@pytest.mark.slow
 def test_two_array_cross_sources():
     """dest<-other-array pair phases decompose correctly too."""
     rng = np.random.RandomState(11)
@@ -142,6 +143,7 @@ def test_two_array_cross_sources():
     np.testing.assert_allclose(rho_s, rho_f, rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_reuse_goes_stale_when_h_crosses_split():
     """A fine-population particle whose h grows past h_split must
     invalidate the binning (its support no longer fits the fine

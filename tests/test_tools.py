@@ -2,6 +2,7 @@
 tools/tests/test_interpolator.py strategy: interpolating known fields)."""
 
 import numpy as np
+import pytest
 
 from pysph_tpu.base.kernels import CubicSpline, Gaussian
 from pysph_tpu.base.utils import get_particle_array
@@ -194,6 +195,7 @@ def test_viewer_writes_frames(tmp_path):
     assert len(glob.glob(str(tmp_path / 'frames' / '*.png'))) == 2
 
 
+@pytest.mark.slow
 def test_html_and_movie_viewers(tmp_path):
     import numpy as np
 
@@ -289,6 +291,7 @@ def test_native_lib_builds():
     assert lib is not None
 
 
+@pytest.mark.slow
 def test_packing_hardpoints_and_projection():
     """Hardpoint pinning + curved-surface projection
     (reference particle_packing.py:989-1074, 1395-1681)."""

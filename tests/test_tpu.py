@@ -170,3 +170,21 @@ def test_stratified_on_chip():
             rho_ref[i] += m[j] * float(kernel.kernel(
                 rij=r[j], h=0.5 * (h[i] + h[j])))
     np.testing.assert_allclose(rho, rho_ref, rtol=5e-5, atol=1e-6)
+
+
+@requires_tpu
+def test_dam_break_3d_union_cascade_on_chip():
+    """Union-window path with calibrated caps + K-cascade levels +
+    the xy-concat source views, Mosaic-compiled at a size where the
+    windows genuinely compact (dx=0.06: K < C for fluid<-fluid).
+    Also the permanent stand-in for the BENCH_r03 captured-constants
+    crash shape (strips must be materialized at phase trace level;
+    ops/resident.py _union_strips)."""
+    from pysph_tpu.examples.dam_break_3d import DamBreak3D
+    app = _run_app(DamBreak3D, ['--dx', '0.06', '--max-steps', '3'],
+                   env={'PYSPH_TPU_RESIDENT': '1'})
+    spec = app.solver.nnps
+    assert spec.window_caps, 'calibration did not run'
+    x, y, z, rho = _positions(app)
+    assert np.isfinite(x).all() and np.isfinite(z).all()
+    assert np.isfinite(rho).all()
