@@ -590,14 +590,16 @@ _GATE = True
 
 def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                           meta, *refs):
-    """One program per active dest pencil; each source phase reads
-    ONE xy-concat view — the 9 (oy, ox) neighbor-pencil segments of
-    the source pack, pre-gathered per dest entry in XLA (one DMA
-    descriptor instead of nine; the per-program descriptor issue cost
-    was the measured launch floor).  z-offsets are assembled in-kernel
-    with static sublane shifts.  Each source runs either as a
-    union-compacted window phase (wide sources) or per-offset phases
-    (small ones)."""
+    """One program per active dest pencil; sources are the 9 (oy, ox)
+    neighbor-pencil resident packs; z-offsets are assembled in-kernel
+    with static sublane shifts (no pre-rolled HBM copies).  Each
+    source runs either as a union-compacted window phase (wide
+    sources) or 9 per-offset phases (small ones).
+
+    (An xy-concat single-view variant — pre-gathering the 9 segments
+    in XLA so each phase is one DMA — was tried in round 5 and
+    REVERTED: the per-eval gather builds cost ~13 ms at dx=0.02,
+    more than the ~6 ms of descriptor issue they saved.)"""
     (R, nz, kper, swapped, Md, d_planes, d_const_list, src_metas,
      out_props, out_ops_t, oys, oxs, real, cz, interp) = meta
     out_ops = dict(out_ops_t)
@@ -606,6 +608,8 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
     bi_ref = next(it)
     bj_ref = next(it)
     na_ref = next(it)
+    for _ in src_metas:
+        next(it)                     # inverse pencil maps
     next(it)                         # dest entry list (index maps)
     scal = next(it)                  # (1, 8): t, dt, origin, widths
     d_ref = next(it)                 # (1, R, (1 + Pd) * Md)
@@ -613,7 +617,7 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
     srcs = []
     for (sname, planes, pack_idx, Ms, const_list, K, levels,
          seg) in src_metas:
-        s_ref = next(it)             # (1, R, n_oxy * seg) xy view
+        s_ref = {(oy, ox): next(it) for oy in oys for ox in oxs}
         s_consts = {('s', p): next(it)[0] for p in const_list}
         srcs.append((s_ref, planes, pack_idx, Ms, s_consts,
                      const_list, K, levels, seg))
@@ -655,17 +659,15 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
 
     def _strip27(si, pi):
         """(R, 27*Ms) lane-concat of PACK plane ``pi`` over the full
-        stencil: 9 (oy, ox) xy-view sections x 3 z-shifts, in a fixed
-        order."""
+        stencil: 9 (oy, ox) views x 3 z-shifts, in a fixed order."""
         (s_ref, planes, pack_idx, Ms) = srcs[si][:4]
-        seg = srcs[si][8]
         cols = []
-        for sec in range(n_oxy):
-            v = s_ref[0][:, sec * seg + pi * Ms:
-                         sec * seg + (pi + 1) * Ms]
-            for oz in (-1, 0, 1) if nz > 1 else (0,):
-                cols.append(_zshift(v, oz, nz, R, kper[2],
-                                    interp))
+        for oy in oys:
+            for ox in oxs:
+                v = s_ref[(oy, ox)][0][:, pi * Ms:(pi + 1) * Ms]
+                for oz in (-1, 0, 1) if nz > 1 else (0,):
+                    cols.append(_zshift(v, oz, nz, R, kper[2],
+                                        interp))
         return jnp.concatenate(cols, axis=-1)
 
     def _union_strips(si):
@@ -772,21 +774,21 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
             consts.update(s_consts)
             if K is None:
                 # per-offset phases (small sources)
-                for sec in range(n_oxy):
-                    base = sec * seg
-                    sm0 = s_ref[0][:, base:base + Ms]
-                    src_any = jnp.sum(sm0) > 0.0
+                for oy in oys:
+                    for ox in oxs:
+                        ref = s_ref[(oy, ox)]
+                        sm0 = ref[0][:, 0:Ms]
+                        src_any = jnp.sum(sm0) > 0.0
 
-                    if True:  # keep the original indentation depth
-                        def _phase(base=base, planes=planes,
+                        def _phase(ref=ref, planes=planes,
                                    pack_idx=pack_idx, Ms=Ms,
-                                   eqs=eqs, sm0=sm0, s_ref=s_ref):
+                                   eqs=eqs, sm0=sm0):
                             strips = {}
 
                             def strip3(pi):
                                 if pi not in strips:
-                                    v = s_ref[0][:, base + pi * Ms:
-                                                 base + (pi + 1) * Ms]
+                                    v = ref[0][:, pi * Ms:
+                                               (pi + 1) * Ms]
                                     if nz > 1:
                                         strips[pi] = jnp.concatenate(
                                             [_zshift(v, oz, nz, R,
@@ -841,9 +843,10 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
 
             # union-window phase
             tot = None
-            for sec in range(n_oxy):
-                m = jnp.sum(s_ref[0][:, sec * seg:sec * seg + Ms])
-                tot = m if tot is None else tot + m
+            for oy in oys:
+                for ox in oxs:
+                    m = jnp.sum(s_ref[(oy, ox)][0][:, 0:Ms])
+                    tot = m if tot is None else tot + m
             src_any = tot > 0.0
 
             def _uphase(si=si, planes=planes, eqs=eqs,
@@ -1030,57 +1033,33 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
         ins.append(c)
         in_specs.append(pl.BlockSpec(c.shape, const_map))
 
-    # entry -> pencil id map (needed by the xy-view builds below and
-    # the program-filter compaction at the end)
+    # entry -> pencil id map (for the program-filter compaction below)
     ar = jnp.arange(nx * ny, dtype=jnp.int32)
     A = dap.A
     ent_of = jnp.zeros((A + 2,), jnp.int32).at[
         jnp.clip(dps.inv, 0, A + 1)].set(ar, mode='drop')
     ids = ent_of[1 + jnp.arange(A, dtype=jnp.int32)]
-    di_ids = ids // ny
-    dj_ids = ids % ny
 
-    # xy-concat source views: for every dest entry, the 9 (oy, ox)
-    # neighbor-pencil segments of the source pack, gathered in XLA as
-    # row gathers and lane-concatenated.  The kernel then DMAs ONE
-    # (1, R, 9*seg) block per phase instead of nine index-mapped
-    # views — per-program DMA-descriptor issue was the measured
-    # launch floor (~9.6 ms/eval at dx=0.02).  Row 0 is the reserved
-    # zero block (matches pack entry numbering).
-    xy_cache = {}
-
-    def _xy_view(sps_pack, inv_s, seg_l, key):
-        if key in xy_cache:
-            return xy_cache[key]
-        packseg = sps_pack[:, :, :seg_l]
-        secs = []
-        for oy in oys:
-            for ox in oxs:
-                i2 = di_ids + ox
-                j2 = dj_ids + oy
-                if kper[0]:
-                    i2 = jnp.remainder(i2 + nx, nx)
-                    iok = None
-                else:
-                    iok = (i2 >= 0) & (i2 <= nx - 1)
-                if kper[1]:
-                    j2 = jnp.remainder(j2 + ny, ny)
-                    jok = None
-                else:
-                    jok = (j2 >= 0) & (j2 <= ny - 1)
-                flat = jnp.clip(i2, 0, nx - 1) * ny + \
-                    jnp.clip(j2, 0, ny - 1)
-                e = inv_s[flat]
-                if iok is not None:
-                    e = jnp.where(iok, e, 0)
-                if jok is not None:
-                    e = jnp.where(jok, e, 0)
-                secs.append(packseg[e])
-        xy = jnp.concatenate(secs, axis=-1)
-        xy = jnp.concatenate(
-            [jnp.zeros((1,) + xy.shape[1:], xy.dtype), xy], axis=0)
-        xy_cache[key] = xy
-        return xy
+    def smap(a, bi_, bj_, na_, *invs, ox=0, oy=0, si=0):
+        i2 = bi_[a] + ox
+        j2 = bj_[a] + oy
+        if kper[0]:
+            i2 = jax.lax.rem(i2 + jnp.int32(nx), jnp.int32(nx))
+            iok = True
+        else:
+            iok = (i2 >= 0) & (i2 <= nx - 1)
+        if kper[1]:
+            j2 = jax.lax.rem(j2 + jnp.int32(ny), jnp.int32(ny))
+            jok = True
+        else:
+            jok = (j2 >= 0) & (j2 <= ny - 1)
+        flat = jnp.clip(i2, 0, nx - 1) * ny + jnp.clip(j2, 0, ny - 1)
+        e = invs[si][flat]
+        if iok is not True:
+            e = jnp.where(iok, e, 0)
+        if jok is not True:
+            e = jnp.where(jok, e, 0)
+        return (e, 0, 0)
 
     env_u = os.environ.get('PYSPH_TPU_UNION', 'auto')
     dname = dest_name
@@ -1118,17 +1097,23 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
         use = tuple(p for p in sap.planes[:n_src]
                     if p in s_read or p in _XYZH)
         pack_idx = tuple(1 + sap.planes.index(p) for p in use)
-        # source views carry only the planes up to the highest used
-        # one (128-lane aligned); the xy-concat view pre-gathers that
-        # segment for all 9 (oy, ox) offsets — one DMA per phase
+        # source views DMA only up to the highest used plane.  Mosaic
+        # requires a lane-partial block's width to be a multiple of
+        # 128 (or equal to the array's); round the segment up (extra
+        # lanes carry the next planes — harmless), falling back to
+        # the full width.
         full_l = (1 + len(sap.planes)) * Ms
         seg_l = (1 + max(pack_idx)) * Ms
         if seg_l != full_l and seg_l % 128:
             seg_l = min(_pad_up(seg_l, 128), full_l)
-        ins.append(_xy_view(sps.pack, sps.inv, seg_l,
-                            (src_name, seg_l)))
-        in_specs.append(pl.BlockSpec((1, R, n_oxy * seg_l),
-                                     dest_map))
+        spec_blk = (1, R, seg_l)
+        for oy in oys:
+            for ox in oxs:
+                ins.append(sps.pack)
+                in_specs.append(pl.BlockSpec(
+                    spec_blk,
+                    functools.partial(smap, ox=ox, oy=oy,
+                                      si=len(inv_srcs) - 1)))
         s_const_list = sorted(
             set(rec.sources[len(src_metas)][1]))
         for p in s_const_list:
@@ -1225,15 +1210,17 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
     bj = ids_o % ny
     na_pf = n_eff.reshape(1)
 
+    n_prefetch = 4 + len(inv_srcs)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4, grid=(A,),
+        num_scalar_prefetch=n_prefetch, grid=(A,),
         in_specs=in_specs, out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((R, Md), fdt)
                         for _ in range(n_scratch)])
     result = pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-        **_compiler_kwargs(pltpu))(bi, bj, na_pf, ent, *ins)
+        **_compiler_kwargs(pltpu))(bi, bj, na_pf, *inv_srcs, ent,
+                                   *ins)
     if window_any:
         outp, exc = result
     else:

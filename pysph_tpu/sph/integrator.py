@@ -246,6 +246,7 @@ class Integrator(object):
     def _compute_accel_resident(self, runner, update_nnps):
         from pysph_tpu.ops.resident import PackStore, build_packs
         a_eval = self.acceleration_evals[0]
+        a_eval.engine_choices['__mode__'] = 'resident'
         if self._res_stores is None:
             # no packs yet: bin + pack from the (canonical) flat state
             handle, packs, diag = runner.prepare(self._states)

@@ -16,7 +16,7 @@ sys.argv = ['probe']
 import numpy as np  # noqa: E402
 
 
-def main(n_steps=400, lb_freq=100):
+def main(n_steps=3000, lb_freq=500):
     import jax
     jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_enable_x64', True)
@@ -99,7 +99,7 @@ def main(n_steps=400, lb_freq=100):
         for i in range(n_steps):
             gstates, _dtn, diag = runner.step_checked(gstates, t, dt)
             t += dt
-            if (i + 1) % 50 == 0:
+            if (i + 1) % 250 == 0:
                 imb, _ = runner.imbalance(gstates)
                 rows.append((i + 1, imb))
                 print('%s step %4d  max/mean %5.2f' %
