@@ -713,12 +713,18 @@ def test_pallas_engine_inside_shard_map():
     n_blocks = 2
     if len(jax.devices()) < n_blocks:
         pytest.skip('not enough devices')
+    import os
     from pysph_tpu.config import get_config
     cfg = get_config()
     old = cfg._use_pallas
+    old_res = os.environ.get('PYSPH_TPU_RESIDENT')
     n_steps, dt = 2, 1e-4
     try:
         cfg.use_pallas = True
+        # resident mode would engage for the serial baseline and
+        # _run_serial reads flat states without materializing packs;
+        # force the compact path on both sides
+        os.environ['PYSPH_TPU_RESIDENT'] = '0'
         pa_serial = _make_particles()
         serial = _run_serial(pa_serial, n_steps, dt)
         n = int(serial['fluid']['n_act'])
@@ -754,3 +760,7 @@ def test_pallas_engine_inside_shard_map():
                                    rtol=1e-9)
     finally:
         cfg._use_pallas = old
+        if old_res is None:
+            os.environ.pop('PYSPH_TPU_RESIDENT', None)
+        else:
+            os.environ['PYSPH_TPU_RESIDENT'] = old_res
