@@ -1904,6 +1904,15 @@ def _execute_plan_compact(plan, dest_store, spec, write_mask_flat, t,
     vals_t = jax.lax.optimization_barrier(vals.T.reshape(-1))
     for po, p in enumerate(out_props):
         col = vals_t[po * cap:(po + 1) * cap]
+        if isinstance(p, tuple):
+            # strided prop column (delta-SPH gradrho, CRKSPH moment
+            # matrices): fold into its column of the (cap, stride)
+            # flat array
+            base, c = p
+            old2 = fview[base]
+            fview[base] = old2.at[:, c].set(
+                jnp.where(ok, col.astype(old2.dtype), old2[:, c]))
+            continue
         old = fview[p]
         fview[p] = jnp.where(ok, col.astype(old.dtype), old)
     return {'block_overflow': block_ovf,

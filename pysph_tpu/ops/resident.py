@@ -245,9 +245,6 @@ class ResidentPlan(object):
             props |= {p for p in ('dt_adapt', 'dt_cfl', 'dt_force',
                                   'dt_visc')
                       if p in schema.props and p not in schema.consts}
-            for p in props:
-                if schema.strides.get(p, 1) != 1:
-                    raise PallasIneligible('strided prop %r' % p)
             fdt = states[name]['x'].dtype
             cap = states[name]['x'].shape[0]
             for p in props:
@@ -270,12 +267,26 @@ class ResidentPlan(object):
                             'mixed float dtype prop %r' % p)
             srcs_set = (self.src_read[name] | set(_XYZH)) - \
                 set(schema.consts)
+
+            # strided props (delta-SPH gradrho, CRKSPH moment
+            # matrices, solid-mech tensors) ride as one pack plane
+            # PER COLUMN, keyed (name, col) — the same convention as
+            # the compact engine's plane keys (pallas_engine._pkey)
+            def expand(p):
+                s = schema.strides.get(p, 1)
+                if s == 1:
+                    return [p]
+                return [(p, c) for c in range(s)]
+
+            from pysph_tpu.ops.pallas_engine import _pkey
             # x/y/z/h first: every pair phase reads them (windows,
             # symbols), so phase-subset DMA widths stay minimal
             srcs = [p for p in _XYZH if p in srcs_set] + \
-                sorted(srcs_set - set(_XYZH))
-            rest = sorted(props - set(srcs))
-            planes = tuple(srcs + rest)
+                [k for p in sorted(srcs_set - set(_XYZH))
+                 for k in expand(p)]
+            rest = [k for p in sorted(props - srcs_set - set(_XYZH))
+                    for k in expand(p) if k not in srcs]
+            planes = tuple(srcs + sorted(rest, key=_pkey))
             M = spec.capacity_for(name)
             B = nx * ny
             frac = spec.block_frac_for(name)
@@ -292,7 +303,8 @@ class ResidentPlan(object):
         ap = self.arrays[name]
         out = {}
         for p in ap.planes:
-            d = state[p].dtype
+            base = p[0] if isinstance(p, tuple) else p
+            d = state[base].dtype
             if jnp.issubdtype(d, jnp.integer) or d == jnp.bool_:
                 out[p] = d
         return out
@@ -336,7 +348,13 @@ def build_pack(plan, name, state, layout):
 
     cap = state['x'].shape[0]
     ones = jnp.ones((cap,), fdt)
-    cols = [ones] + [jnp.asarray(state[p], fdt) for p in ap.planes]
+
+    def colv(p):
+        if isinstance(p, tuple):        # strided prop column
+            return jnp.asarray(state[p[0]][:, p[1]], fdt)
+        return jnp.asarray(state[p], fdt)
+
+    cols = [ones] + [colv(p) for p in ap.planes]
     rows = _rows_matrix(cols, p_idx)
     pack = _pack_from_rows(rows, range(1 + len(ap.planes)), A, R, M)
     pack = jnp.concatenate(
@@ -388,6 +406,13 @@ def fold_pack(plan, name, pack_state, state):
     ints = plan.int_planes(name, state)
     for pi, p in enumerate(ap.planes):
         col = vals_t[(1 + pi) * cap:(2 + pi) * cap]
+        if isinstance(p, tuple):        # strided prop column
+            base, c = p
+            old2 = out.get(base, state[base])
+            colv = col.astype(old2.dtype)
+            out[base] = old2.at[:, c].set(
+                jnp.where(okc, colv, old2[:, c]))
+            continue
         old = state[p]
         if p in ints:
             col = jnp.round(col).astype(old.dtype)
@@ -422,9 +447,17 @@ class PackStore(object):
         self._consts = set(self.ap.consts) | {'n_act'}
         self.cache = {}
         self.dirty = set()
+        # strided props: base name -> {column: plane index} (each
+        # column is its own pack plane; flat-phase reads/writes see
+        # the reassembled (rows, stride) matrix)
+        self._strided = {}
+        for i, p in enumerate(self.ap.planes):
+            if isinstance(p, tuple):
+                self._strided.setdefault(p[0], {})[p[1]] = 1 + i
 
     def __contains__(self, key):
-        return key in self.ap.planes or key in self.flat
+        return (key in self.ap.planes or key in self._strided or
+                key in self.flat)
 
     def particle_index(self):
         """Slot-row -> particle index (D_PIDX in flat phases)."""
@@ -464,6 +497,13 @@ class PackStore(object):
         return self._plane(0) > 0.0
 
     def __getitem__(self, key):
+        if key in self._strided:
+            if key not in self.cache:
+                cols = self._strided[key]
+                self.cache[key] = jnp.stack(
+                    [self._plane(cols[c])
+                     for c in range(len(cols))], axis=-1)
+            return self.cache[key]
         if key in self._consts or key not in self.ap.planes:
             return self.flat[key]
         if key not in self.cache:
@@ -471,6 +511,10 @@ class PackStore(object):
         return self.cache[key]
 
     def __setitem__(self, key, value):
+        if key in self._strided:
+            self.cache[key] = value
+            self.dirty.add(key)
+            return
         if key in self._consts or key not in self.ap.planes:
             self.flat[key] = value
             return
@@ -486,11 +530,18 @@ class PackStore(object):
         pack); in-place dynamic-update-slices copy once and fuse."""
         if not self.dirty:
             return self.ps
+        from pysph_tpu.ops.pallas_engine import _pkey
         A1, R, _ = self.ps.pack.shape
         M = self.ap.M
         maskf = self.ps.pack[:, :, 0:M]
         pack = self.ps.pack
-        for p in sorted(self.dirty):
+        for p in sorted(self.dirty, key=_pkey):
+            if p in self._strided:
+                vs = jnp.asarray(self.cache[p], self.ap.dtype)
+                for c, pi in sorted(self._strided[p].items()):
+                    v = vs[:, c].reshape(A1, R, M) * maskf
+                    pack = pack.at[:, :, pi * M:(pi + 1) * M].set(v)
+                continue
             pi = self.ap.plane_idx(p)
             v = jnp.asarray(self.cache[p], self.ap.dtype)
             # empty slots must stay exactly zero (entry 0 is the
@@ -505,11 +556,12 @@ class PackStore(object):
     def adopt_pack(self, ps, out_props):
         """Replace the resident pack wholesale (the pair kernel wrote
         the full dest block back); drop cached planes the kernel
-        changed."""
+        changed (strided columns are cached under their base name)."""
         self.ps = ps
         for p in out_props:
-            self.cache.pop(p, None)
-            self.dirty.discard(p)
+            base = p[0] if isinstance(p, tuple) else p
+            self.cache.pop(base, None)
+            self.dirty.discard(base)
 
 
 
@@ -540,6 +592,8 @@ class _RkMeta(NamedTuple):
     real: bool
     cz: int
     interp: bool
+    d_strides: tuple = ()  # dest schema strides, dict items
+    s_strides: tuple = ()  # per fused source phase: strides items
 
 
 def _zshift(v, oz, nz, R, wrap, interpret=False):
@@ -601,7 +655,8 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
     REVERTED: the per-eval gather builds cost ~13 ms at dx=0.02,
     more than the ~6 ms of descriptor issue they saved.)"""
     (R, nz, kper, swapped, Md, d_planes, d_const_list, src_metas,
-     out_props, out_ops_t, oys, oxs, real, cz, interp) = meta
+     out_props, out_ops_t, oys, oxs, real, cz, interp,
+     _d_strides, _s_strides) = meta
     out_ops = dict(out_ops_t)
     n_oxy = len(oys) * len(oxs)
     it = iter(refs)
@@ -744,11 +799,13 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
         return pk, pmaskf * packed[0], excess, count
 
     def _run_rows(eqs, dcols_c, dm_c, scat, smf, consts, planes,
-                  const_list, out_idx, sl):
+                  const_list, out_idx, sl, s_stride=()):
         runner = _KernelRunner(dcols_c, scat, dm_c, smf, consts)
         ctx = PlanePairContext(
             runner, kernel_obj, domain, radius_scale,
-            set(d_const_list), set(const_list))
+            set(d_const_list), set(const_list),
+            dest_strides=dict(meta.d_strides),
+            src_strides=dict(s_stride))
         runner.ctx = ctx
         _run_eqs(eqs, ctx, t, dt)
         for prop, (op, val) in runner.acc.items():
@@ -834,7 +891,8 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                                         lambda p, sl=sl:
                                         scat(p)[sl],
                                         smf[sl], consts, planes,
-                                        s_const_list, out_idx, sl)
+                                        s_const_list, out_idx, sl,
+                                        s_stride=meta.s_strides[si])
 
                                 pl.when(ch_any)(_chunk)
 
@@ -908,7 +966,8 @@ def _pair_kernel_resident(eqs_list, kernel_obj, domain, radius_scale,
                                     eqs, dc, dmaskf[sl],
                                     lambda p: pk_l[p],
                                     pm_l, consts, planes,
-                                    s_const_list, out_idx, sl)
+                                    s_const_list, out_idx, sl,
+                                    s_stride=meta.s_strides[si])
                             return f
 
                         lv = () if count is None else tuple(
@@ -1121,14 +1180,21 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
             ins.append(c)
             in_specs.append(pl.BlockSpec(c.shape, const_map))
         # calibrated K-cascade sub-levels (at most 2 to bound the
-        # extra physics trace copies; dense self-pairs usually
-        # measure none below their cap)
+        # extra physics trace copies).  DEFAULT OFF: interleaved A/B
+        # on dam_break_3d dx=0.02 measured the cascade net-NEGATIVE
+        # (36.0 vs 35.0 ms/eval) — the per-chunk count/branch
+        # overhead exceeds what the sparse cross phases still waste
+        # after source-proximity filtering + per-chunk gating.  Kept
+        # behind PYSPH_TPU_CASCADE=1 for configurations with many
+        # sparse pair phases (parity-covered by
+        # tests/test_resident.py::test_cascade_forced_parity).
         levels = ()
-        if K is not None:
+        if K is not None and \
+                os.environ.get('PYSPH_TPU_CASCADE', '0') == '1':
             levels = tuple(sorted(set(
                 l for l in spec.window_levels.get(
                     '%s<-%s' % (dname, src_name), ())
-                if 128 <= l < K))[-2:])
+                if 128 <= l <= K // 2))[-2:])
         src_metas.append((src_name, use, pack_idx, Ms,
                           tuple(s_const_list), K, levels, seg_l))
         eqs_list.append(eqs)
@@ -1171,12 +1237,17 @@ def execute_resident(plan, phases, dest_name, stores, rec, kernel_obj,
 
     if interpret is None:
         interpret = jax.default_backend() not in ('tpu', 'axon')
+    schemas = plan.a_eval.schemas
     meta = _RkMeta(
         R=R, nz=nz, kper=kper, swapped=swapped, Md=Md,
         d_planes=tuple(dap.planes), d_const_list=tuple(d_const_list),
         src_metas=tuple(src_metas), out_props=tuple(out_props),
         out_ops=tuple(rec.out_ops.items()), oys=oys, oxs=oxs,
-        real=real, cz=cz, interp=bool(interpret))
+        real=real, cz=cz, interp=bool(interpret),
+        d_strides=tuple(sorted(schemas[dest_name].strides.items())),
+        s_strides=tuple(
+            tuple(sorted(schemas[s].strides.items()))
+            for s, _ in phases))
     kern = functools.partial(_pair_kernel_resident, eqs_list,
                              kernel_obj, domain, radius_scale, meta)
     from jax.experimental.pallas import tpu as pltpu
@@ -1268,7 +1339,11 @@ class ResidentRunner(object):
             rec = _record(
                 phases, a_eval.kernel, a_eval.domain,
                 a_eval.grid_spec.radius_scale,
-                set(a_eval.schemas[dest].consts))
+                set(a_eval.schemas[dest].consts),
+                dest_strides=dict(a_eval.schemas[dest].strides),
+                src_strides_list=[
+                    dict(a_eval.schemas[s].strides)
+                    for s, _eqs in eqs_by_src])
             # resident pair phases run the delta protocol only:
             # sequential semantics (read-after-write between
             # equations, per-particle 'set' assigns, mixed ops) need

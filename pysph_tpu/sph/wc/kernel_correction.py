@@ -54,23 +54,15 @@ class GradientCorrection(Equation):
         super(GradientCorrection, self).__init__(dest, sources)
 
     def loop(self, d_idx, d_m_mat, DWIJ, HIJ):
+        from pysph_tpu.sph.wc.linalg import small_solve_cols
         n = self.dim
         eps = 1.0e-4 * HIJ
-        # dest reads are (..., 1)-shaped (grid mode: (C, M, 1));
-        # build the (..., n, n) moment matrix shape-agnostically
-        rows = []
-        for i in range(n):
-            rows.append(jnp.stack(
-                [d_m_mat[9 * d_idx + 3 * i + j][..., 0]
-                 for j in range(n)], axis=-1))
-        A = jnp.stack(rows, axis=-2)
-        Ainv = jnp.linalg.inv(A)
-        res = []
-        for i in range(n):
-            acc = 0.0
-            for j in range(n):
-                acc = acc + Ainv[..., i, j][..., None] * DWIJ[j]
-            res.append(acc)
+        # closed-form adjugate solve on the raw column reads: plain
+        # arithmetic only, so the loop lowers inside pallas kernels
+        # (jnp.linalg.inv needs an LU primitive Mosaic lacks)
+        a = [[d_m_mat[9 * d_idx + 3 * i + j] for j in range(n)]
+             for i in range(n)]
+        res = small_solve_cols(a, [DWIJ[i] for i in range(n)], n)
         res_mag = sum(jnp.abs(res[i]) for i in range(n))
         dwij_mag = sum(jnp.abs(DWIJ[i]) for i in range(n))
         change = jnp.abs(res_mag - dwij_mag) / (dwij_mag + eps)
@@ -128,24 +120,16 @@ class MixedGradientCorrection(Equation):
         super(MixedGradientCorrection, self).__init__(dest, sources)
 
     def loop(self, d_idx, d_m_mat, d_dw_gamma, d_cwij, DWIJ, HIJ):
+        from pysph_tpu.sph.wc.linalg import small_solve_cols
         n = self.dim
         eps = 1.0e-4 * HIJ
         den = d_cwij[d_idx]
         dwij = [(DWIJ[i] - d_dw_gamma[3 * d_idx + i]) / den
                 for i in range(n)]
-        rows = []
-        for i in range(n):
-            rows.append(jnp.stack(
-                [d_m_mat[9 * d_idx + 3 * i + j][..., 0]
-                 for j in range(n)], axis=-1))
-        A = jnp.stack(rows, axis=-2)
-        Ainv = jnp.linalg.inv(A)
-        res = []
-        for i in range(n):
-            acc = 0.0
-            for j in range(n):
-                acc = acc + Ainv[..., i, j][..., None] * dwij[j]
-            res.append(acc)
+        # adjugate solve (pallas-lowerable; see GradientCorrection)
+        a = [[d_m_mat[9 * d_idx + 3 * i + j] for j in range(n)]
+             for i in range(n)]
+        res = small_solve_cols(a, dwij, n)
         res_mag = sum(jnp.abs(res[i]) for i in range(n))
         dwij_mag = sum(jnp.abs(dwij[i]) for i in range(n))
         change = jnp.abs(res_mag - dwij_mag) / (dwij_mag + eps)

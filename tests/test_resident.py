@@ -154,3 +154,100 @@ def test_resident_parity_iisph_iterated():
     assert runner not in (None, False), \
         'IISPH did not engage the resident path'
     _compare(ref, res, props=('x', 'y', 'u', 'v', 'rho', 'p'))
+
+
+@pytest.mark.slow
+def test_cascade_forced_parity():
+    """The count-gated K cascade (PYSPH_TPU_CASCADE=1, default off —
+    measured net-negative on dam_break_3d but kept for sparse-phase
+    configurations) must be bit-exact vs the uncascaded kernel:
+    truncating window lanes beyond the chunk's max survivor count
+    drops only zero-masked padding."""
+    import jax
+    from pysph_tpu.examples.dam_break_3d import DamBreak3D
+    from pysph_tpu.ops.resident import PackStore, make_runner
+
+    old_env = {k: os.environ.get(k)
+               for k in ('PYSPH_TPU_CASCADE', 'PYSPH_TPU_UNION',
+                         'PYSPH_TPU_RESIDENT')}
+    cfg = get_config()
+    old_pallas = cfg._use_pallas
+    argv = sys.argv
+    try:
+        sys.argv = ['test']
+        cfg.use_pallas = True
+        os.environ['PYSPH_TPU_RESIDENT'] = '1'
+        os.environ['PYSPH_TPU_UNION'] = '1'   # force union windows
+        app = DamBreak3D()
+        app.setup(['--dx', '0.25', '--max-steps', '0',
+                   '--disable-output'])
+        solver = app.solver
+        integ = solver.integrator
+        states = solver.states
+        spec = integ.acceleration_evals[0].grid_spec
+        # force a K with a sub-level below it
+        for k in list(spec.window_caps):
+            spec.window_caps[k] = 256
+            spec.window_levels[k] = (128,)
+        runner = make_runner(integ.acceleration_evals[0],
+                             integ.steppers, states)
+        assert runner is not None
+        handle, packs, _ = jax.jit(runner.prepare)(states)
+
+        def one(cascade):
+            os.environ['PYSPH_TPU_CASCADE'] = '1' if cascade else '0'
+
+            @jax.jit
+            def run(pk):
+                stores = {
+                    name: PackStore(runner.plan, name, ps,
+                                    dict(states[name]))
+                    for name, ps in pk.items()}
+                runner.compute(0.0, float(solver.dt), stores, handle)
+                return {n: s.finalize_pack().pack
+                        for n, s in stores.items()}
+            return {n: np.asarray(v) for n, v in run(packs).items()}
+
+        a = one(True)
+        b = one(False)
+        for name in a:
+            np.testing.assert_array_equal(a[name], b[name],
+                                          err_msg=name)
+    finally:
+        sys.argv = argv
+        cfg._use_pallas = old_pallas
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+@pytest.mark.slow
+def test_resident_parity_delta_sph_strided():
+    """Strided props (delta-SPH gradrho stride 3 + gradient-correction
+    m_mat stride 9) on the resident path: per-column pack planes must
+    match the SlotStore/compact path exactly (r5: the last resident
+    eligibility gap — reference wc/basic.py:346, kernel_correction
+    GradientCorrectionPreStep)."""
+    from pysph_tpu.examples.elliptical_drop import EllipticalDrop
+
+    class DeltaDrop(EllipticalDrop):
+        def configure_scheme(self):
+            super(DeltaDrop, self).configure_scheme()
+            if hasattr(self.scheme, 'scheme'):  # SchemeChooser
+                s = self.scheme.scheme
+            else:
+                s = self.scheme
+            s.delta_sph = True
+
+    args = ['--nx', '10', '--max-steps', '4', '--pfreq', '1000']
+    ref, app_ref = _run(DeltaDrop, args, resident=False)
+    res, app = _run(DeltaDrop, args, resident=True)
+    runner = app.solver.integrator._res_runner
+    assert runner not in (None, False), \
+        'strided delta-SPH did not engage the resident path'
+    assert any(isinstance(p, tuple)
+               for p in runner.plan.arrays['fluid'].planes), \
+        'no per-column strided planes in the pack'
+    _compare(ref, res)

@@ -188,3 +188,20 @@ def test_dam_break_3d_union_cascade_on_chip():
     x, y, z, rho = _positions(app)
     assert np.isfinite(x).all() and np.isfinite(z).all()
     assert np.isfinite(rho).all()
+
+
+@requires_tpu
+def test_delta_sph_strided_resident_on_chip():
+    """Strided per-column pack planes (delta-SPH gradrho + m_mat,
+    r5) Mosaic-compiled: 3 steps of the delta-SPH dam break through
+    the resident path."""
+    from pysph_tpu.examples.dam_break_3d import DamBreak3D
+    app = _run_app(DamBreak3D,
+                   ['--dx', '0.12', '--max-steps', '3',
+                    '--delta-sph'],
+                   env={'PYSPH_TPU_RESIDENT': '1'})
+    runner = app.solver.integrator._res_runner
+    assert runner not in (None, False), \
+        'delta-SPH did not engage the resident path'
+    x, y, z, rho = _positions(app)
+    assert np.isfinite(x).all() and np.isfinite(rho).all()
