@@ -271,15 +271,26 @@ def main():
     # Persistent compile cache: repeat bench runs (and the driver's
     # run after a pre-warming run in-round) load executables from disk
     # instead of recompiling — verified to work through the axon
-    # remote-TPU plugin.
+    # remote-TPU plugin.  Keyed by host CPU flags: entries written on
+    # a different machine can SIGABRT on load (see tests/conftest.py).
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            flags = next((ln for ln in f if ln.startswith('flags')),
+                         'none')
+    except OSError:
+        flags = 'none'
+    tag = hashlib.md5(flags.encode()).hexdigest()[:8]
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             '.jax_cache_tpu')
+                             '.jax_cache_tpu-' + tag)
     try:
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs',
                           1.0)
         jax.config.update('jax_persistent_cache_min_entry_size_bytes',
                           0)
+        jax.config.update('jax_persistent_cache_enable_xla_caches',
+                          'none')
     except Exception as e:
         _phase('compile cache unavailable: %s' % e)
 

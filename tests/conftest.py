@@ -35,9 +35,32 @@ if not TPU_TIER:
 # compiles of full solver steps on the 8-device mesh (measured 12+ min
 # cold); with the cache warm it drops under ~4 min.  Keyed by backend,
 # so the CPU-mesh test compiles never collide with TPU runs.
+#
+# The dir name embeds a hash of the HOST CPU feature flags: cached
+# XLA:CPU executables encode machine features, and loading an entry
+# compiled on a different box SIGABRTs mid-test (observed in round 5
+# after the workspace moved to a machine without avx512 pseudo-
+# features — jax's own cache key does not cover this).
+
+
+def _host_cpu_tag():
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    return hashlib.md5(
+                        line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]
+
+
 _cache_dir = os.environ.get(
     'PYSPH_TPU_TEST_CACHE',
-    os.path.join(os.path.dirname(__file__), '..', '.jax_cache'))
+    os.path.join(os.path.dirname(__file__), '..',
+                 '.jax_cache-' + _host_cpu_tag()))
 jax.config.update('jax_compilation_cache_dir', _cache_dir)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 jax.config.update(
