@@ -59,16 +59,26 @@ def _host_cpu_tag():
 
 _cache_dir = os.environ.get(
     'PYSPH_TPU_TEST_CACHE',
-    os.path.join(os.path.dirname(__file__), '..',
-                 '.jax_cache-' + _host_cpu_tag()))
-jax.config.update('jax_compilation_cache_dir', _cache_dir)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-jax.config.update(
-    'jax_persistent_cache_min_entry_size_bytes', -1)
-# jax-level cache only: the XLA:CPU AOT sub-cache re-checks host CPU
-# features against its own pseudo-features (prefer-no-scatter) and
-# spams SIGILL warnings on reload
-jax.config.update('jax_persistent_cache_enable_xla_caches', 'none')
+    # OPT-IN (round-5 finding): loading persisted XLA:CPU executables
+    # is unreliable on this stack — large 8-device slow-tier programs
+    # SIGABRT/SIGSEGV inside compilation_cache.get_executable_and_time
+    # on load (host-feature mismatch after a machine change, and
+    # same-host segfaults for the big multi-device entries).  The
+    # fast tier costs ~14 min cold vs ~7 warm on one core; a cache
+    # that can crash the suite is not worth the 7 minutes.  Set
+    # PYSPH_TPU_TEST_CACHE=<dir> to re-enable locally.
+    '')
+if _cache_dir:
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      0.5)
+    jax.config.update(
+        'jax_persistent_cache_min_entry_size_bytes', -1)
+    # jax-level cache only: the XLA:CPU AOT sub-cache re-checks host
+    # CPU features against its own pseudo-features
+    # (prefer-no-scatter) and spams SIGILL warnings on reload
+    jax.config.update('jax_persistent_cache_enable_xla_caches',
+                      'none')
 
 from pysph_tpu.config import get_config  # noqa: E402
 
