@@ -258,7 +258,49 @@ def _probe_backend(timeout=600):
     return None
 
 
+def _parent(argv):
+    """Supervisor: run the measurement in a CHILD interpreter and
+    relay its stdout.  A hard crash in the child (segfault-class —
+    e.g. a poisoned compile-cache entry, a Mosaic bug) still leaves a
+    parseable JSON line from this process; rounds 3-4 each lost their
+    benchmark record to exactly this failure mode."""
+    import subprocess
+    cmd = [sys.executable, os.path.abspath(__file__), '--child'] + argv
+    deadline = T0 + BUDGET_S - 45.0
+    saw_json = False
+    last = ''
+    try:
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                text=True)
+        while True:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            if line.lstrip().startswith('{'):
+                saw_json = True
+            else:
+                last = line.strip()
+            if time.time() > deadline and not saw_json:
+                break
+        try:
+            proc.wait(timeout=max(5.0, deadline - time.time()))
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        rc = proc.returncode
+    except Exception as e:
+        rc, last = -1, repr(e)
+    if not saw_json:
+        _fail('bench child died without a result (rc=%r, last=%r)'
+              % (rc, last[-300:]))
+        return 3
+    return 0
+
+
 def main():
+    if '--child' not in sys.argv[1:]:
+        return _parent([a for a in sys.argv[1:]])
     threading.Thread(target=_watchdog, daemon=True).start()
     _phase('probing backend')
     err = _probe_backend()

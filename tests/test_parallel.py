@@ -463,7 +463,7 @@ def test_distributed_dam_break_3d():
     c0 = 10.0 * np.sqrt(2.0 * 9.81 * 0.55)
 
     def make():
-        geom = DamBreak3DGeometry(dx=0.08, nboundary_layers=1,
+        geom = DamBreak3DGeometry(dx=0.10, nboundary_layers=1,
                                   hdx=1.3, rho0=1.0)
         fluid, boundary, obstacle = geom.create_particles()
         for pa in (fluid, boundary, obstacle):
