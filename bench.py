@@ -43,9 +43,12 @@ OPENMP_BASELINE = 5.0e5     # particle-steps/s (derivation above)
 ELLIPTICAL_BASELINE = 1.2e5  # serial CPU, examples/elliptical_drop.py:1
 
 T0 = time.time()
-# Conservative estimate of the driver's bench window (r4 timed out;
-# assume ~30 min and leave margin).  Override via env for local runs.
-BUDGET_S = float(os.environ.get('PYSPH_BENCH_BUDGET_S', '1320'))
+# Conservative estimate of the driver's bench window: r4 hit rc=124
+# so a timeout exists, but its length is unrecorded — assume ~20 min
+# so the watchdog/deadline paths fire well inside a 30-min window
+# too.  A cache-warm successful run takes well under 10 min.
+# Override via env for local runs.
+BUDGET_S = float(os.environ.get('PYSPH_BENCH_BUDGET_S', '1140'))
 
 _result_lock = threading.Lock()
 _result = {'printed_real': False, 'best': None}
@@ -150,17 +153,25 @@ def _measure_integrator(integ, states, dt, steps_per_call=10,
     blob = run_block(blob)
     _force(blob)
     _phase('measuring (%d calls x %d steps)' % (n_calls, steps_per_call))
-    start = time.time()
+    # median PER CALL, not total wall: the shared chip's tenant
+    # contention is bursty (3-7x spikes, see the verify skill); one
+    # bad call would otherwise dominate a 40-step total.  Chained
+    # inputs (each call consumes the previous output) keep the device
+    # honestly busy end to end.
+    per_call = []
     for _ in range(n_calls):
+        start = time.time()
         blob = run_block(blob)
-    _force(blob)
-    wall = time.time() - start
+        _force(blob)
+        per_call.append(time.time() - start)
+    wall = sorted(per_call)[len(per_call) // 2]
     states_out, _t, _c = unpack(blob)
     for s in states_out.values():
         assert np.all(np.isfinite(np.asarray(s['x'])))
-    _phase('measured %.1f ms/step' % (
-        wall / (n_calls * steps_per_call) * 1e3))
-    return n_calls * steps_per_call / wall
+    _phase('measured %.1f ms/step (per-call %s)' % (
+        wall / steps_per_call * 1e3,
+        ' '.join('%.2fs' % c for c in per_call)))
+    return steps_per_call / wall
 
 
 def bench_dam_break_3d(dx=0.02, delta_sph=False):
@@ -242,20 +253,38 @@ def _fail(msg):
 def _probe_backend(timeout=600):
     """Init the jax backend in a subprocess first: the remote-TPU
     plugin hangs un-interruptibly (inside C) when the tunnel is down,
-    so probing in-process would wedge the driver.  A successful probe
-    warms the server-side connection; the in-process init after it is
-    fast."""
+    so probing in-process would wedge the driver.  The probe also runs
+    one tiny computation + host fetch: a wedged-but-connectable tunnel
+    (observed 2026-08-21: ``jax.devices()`` succeeds, any execute RPC
+    hangs forever) passes a devices()-only probe and then eats the
+    whole budget.  A successful probe warms the server connection."""
     import subprocess
     try:
         proc = subprocess.run(
             [sys.executable, '-c',
-             'import jax; jax.devices(); print("backend-ok")'],
+             'import jax, jax.numpy as jnp; jax.devices(); '
+             'print(float(jnp.arange(8.).sum())); '
+             'print("backend-ok")'],
             capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return 'timeout: TPU backend unreachable (tunnel down?)'
+        return 'timeout: TPU backend unreachable or wedged'
     if 'backend-ok' not in (proc.stdout or ''):
         return 'backend init failed: %s' % (proc.stderr or '')[-500:]
     return None
+
+
+def _probe_until_up(budget_frac=0.45, per_try=240):
+    """Retry the probe while the tunnel is down: a mid-window
+    recovery still lands a real number (warm compile caches make the
+    measurement itself take only a couple of minutes)."""
+    while True:
+        err = _probe_backend(timeout=per_try)
+        if err is None:
+            return None
+        if _elapsed() > budget_frac * BUDGET_S:
+            return err
+        _phase('probe failed (%s); retrying in 30s' % err)
+        time.sleep(30)
 
 
 def _parent(argv):
@@ -303,7 +332,7 @@ def main():
         return _parent([a for a in sys.argv[1:]])
     threading.Thread(target=_watchdog, daemon=True).start()
     _phase('probing backend')
-    err = _probe_backend()
+    err = _probe_until_up()
     if err is not None:
         _fail(err)
         return 3
